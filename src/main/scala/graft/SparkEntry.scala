@@ -1,13 +1,380 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dedup.Dedup
+import graft.eval.Evaluator
+import graft.ingest.WebPagesGen
+import graft.mm.Multimodal
+import graft.pipeline.{LogPipeline, MatchCatalog, PipelineConfig}
+import graft.rex.RexCompiler
+import graft.sim.Ann
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** Driver contract — one `queries` entry per implemented operator (SURVEY.md §2 +
+  * the training-data operator families), with a DuckDB oracle for every
+  * SQL-expressible one. Column names are aliased identically on both sides (the
+  * driver's compare hashes by sorted column name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- helpers ---------------------------------------------------------------
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The log pipeline over the synthetic web_pages table, mined+matched once per
+    * (session, sfDir) and cached — several queries project from it.
+    */
+  private val pipeCache = TrieMap[String, (MatchCatalog, DataFrame)]()
+  private def assignedFor(s: SparkSession, dir: String): (MatchCatalog, DataFrame) =
+    pipeCache.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir", {
+      val n = WebPagesGen.pagesForSfDir(dir)
+      val pages = WebPagesGen.pages(s, n).toDF()
+      val (cat, asg) = LogPipeline.assignAll(s, pages, PipelineConfig.hdfs)
+      (cat, asg.persist())
+    })
+
+  /** documents ∪ exact copies (ids +100000 for every 5th doc) — guaranteed
+    * duplicates so dedup queries return non-empty, fully deterministic results.
+    */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(d.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  /** documents ∪ perturbed copies (one appended word) — near-dups, not exact. */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+    d.unionByName(d.filter(col("doc_id") % 2 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" zzappended"))))
+  }
+
+  // ---- flagship --------------------------------------------------------------
+
+  /** Flagship: full parse→mine→match pipeline on sf0.001-scale synthetic web pages,
+    * returning per-template-cluster counts (the north_rule parity quantity).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val (_, asg) = assignedFor(spark, "/root/testdata/sf0.001")
+    new LogPipeline(PipelineConfig.hdfs).templateCounts(asg)
+  }
+
+  // ---- queries ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- log pipeline (non-SQL-expressible core → rows-only checks) ----
+    "log_templates" -> ((s, dir) => {
+      val (_, asg) = assignedFor(s, dir)
+      new LogPipeline(PipelineConfig.hdfs).templateCounts(asg)
+    }),
+    "log_matched_by" -> ((s, dir) => {
+      val (_, asg) = assignedFor(s, dir)
+      asg.groupBy("matched_by").agg(count(lit(1)).as("rows")).orderBy("matched_by")
+    }),
+    "log_routed_rows" -> ((s, dir) => {
+      val (_, asg) = assignedFor(s, dir)
+      asg.select("url", "line_no", "event_id")
+    }),
+    "log_params" -> ((s, dir) => {
+      val (_, asg) = assignedFor(s, dir)
+      asg.filter(size(col("parameter_list")) > 0)
+        .select(col("url"), col("line_no"),
+          concat_ws("|", col("parameter_list")).as("params"))
+    }),
+    "log_enrich_region" -> ((s, dir) => {
+      val (_, asg) = assignedFor(s, dir)
+      new LogPipeline(PipelineConfig.hdfs)
+        .enrich(asg, WebPagesGen.dimDomainLang(s))
+        .groupBy("region", "tier").agg(count(lit(1)).as("rows"))
+        .orderBy("region", "tier")
+    }),
+    "log_eval_scores" -> ((s, dir) => {
+      val (_, asg) = assignedFor(s, dir)
+      val n = WebPagesGen.pagesForSfDir(dir)
+      val gt = WebPagesGen.groundTruth(s, n).toDF()
+      val joined = asg.select("url", "line_no", "event_id")
+        .join(gt, Seq("url", "line_no")).withColumnRenamed("gt_tpl", "gt_id")
+      val sc = Evaluator.evaluate(joined)
+      import s.implicits._
+      Seq((sc.precision, sc.recall, sc.f1, sc.parsingAccuracy, sc.total))
+        .toDF("precision", "recall", "f1", "parsing_accuracy", "total")
+    }),
+
+    // ---------- S2/F5/A1 primitives with real DuckDB oracles ------------------
+    "s2_structure" -> ((s, dir) => {
+      val fmt = RexCompiler.compile("<Tag> <Lang> <Src>: <Rest>")
+      val lines = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("REQ "), col("lang"), lit(" "), col("source"), lit(": "),
+            substring(col("text"), 1, 40)).as("line"))
+      lines.select(Seq(col("doc_id")) ++ RexCompiler.structureColumns(col("line"), fmt): _*)
+    }),
+    "f5_eventid_md5" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        substring(md5(col("text")), 1, 8).as("event_id"))),
+    "a1_group_counts" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("occurrences"))),
+    "a4_contingency" -> ((s, dir) =>
+      Evaluator.contingency(t(s, dir, "documents")
+        .select(col("source").as("event_id"), col("lang").as("gt_id")))),
+    "j1_line_join" -> ((s, dir) => {
+      // J1: explicit equi-join on the line key (evaluator's implicit align)
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id"), col("lang"))
+      val b = d.select(col("doc_id"), col("source"))
+      a.join(b, Seq("doc_id")).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---------- text analysis -------------------------------------------------
+    "t_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
+    "t_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.qualityScoreMilli(col("text")).as("quality_milli"))),
+    "t_stopword_ratio" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.stopwordRatioMilli(col("text"), TextOps.EnglishStopwords)
+          .as("stopword_milli"))),
+    "t_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.normFingerprint(col("text")).as("fp"))),
+    "t_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("pred_lang"))),
+    "t_rolling_fp" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("rfp"))),
+
+    // ---------- dedup ---------------------------------------------------------
+    "d_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(docsWithDups(s, dir), "doc_id", "text")),
+    "d_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(docsWithDups(s, dir), "doc_id", "text").select("doc_id")),
+    "d_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashDupPairs(docsWithDups(s, dir), "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.9)
+        .select(col("id_a"), col("id_b"))),
+    "d_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashDupPairs(docsWithDups(s, dir), "doc_id", "text", maxHamming = 0)
+        .select(col("id_a"), col("id_b"))),
+    "d_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.5).select(col("id_a"), col("id_b"))),
+    "d_embed_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val withDups = e.unionByName(e.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding", transform(col("embedding"), x => x + lit(0.001f))))
+      Dedup.embeddingDupPairs(withDups, "vec_id", "embedding", dim = 64,
+        planes = 12, threshold = 0.99).select(col("id_a"), col("id_b"))
+    }),
+
+    // ---------- similarity search --------------------------------------------
+    "ann_brute_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      Ann.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+        .select(col("id"), round(col("score"), 4).as("score4"))
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      Ann.lshTopK(e, "vec_id", "embedding", 64, q, 10, planes = 10, probeHamming = 3)
+        .select(col("id"), round(col("score"), 4).as("score4"))
+    }),
+    "ann_topk_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.topKJoin(e.filter(col("vec_id") < 20), e, "vec_id", "vec_id",
+        "embedding", 64, k = 5).select("id_l", "id_r", "rank")
+    }),
+
+    // ---------- multimodal plumbing ------------------------------------------
+    "mm_features" -> ((s, dir) => {
+      val pages = WebPagesGen.pages(s, 500).toDF()
+      Multimodal.featureTable(s, pages)
+        .select("url", "kind", "byte_len", "content_hash", "width", "height")
+    }),
+
+    // ---------- events (agg / window / json / sessionize) ---------------------
+    "e_type_agg" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(
+        count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))),
+    "e_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"))
+        .agg(count(lit(1)).as("cnt"))),
+    "e_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(
+        sum(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+          .as("sum_k"))),
+    "e_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy("user_id").agg(sum("new_sess").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+    "e_topk_users" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("purchase_cents"))
+        .orderBy(desc("purchase_cents"), col("user_id")).limit(10)),
+
+    // ---------- TPC-H-ish (join / agg / window / set / semi / anti) -----------
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus").agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+          count(lit(1)).as("cnt"))),
+    "q3_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("rev_e4"), count(lit(1)).as("n"))
+    }),
+    "j_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      o.join(l.select(col("l_orderkey").as("o_orderkey")).distinct(),
+          Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    }),
+    "j_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o.select(col("o_custkey").as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    }),
+    "w_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("rn").cast("long").as("rn"))
+    }),
+    "set_except" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select("l_partkey").distinct()
+      val p = t(s, dir, "part").filter(col("p_size") > 40)
+        .select(col("p_partkey").as("l_partkey")).distinct()
+      l.except(p)
+    }),
+    "agg_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count_distinct(col("l_orderkey")).as("n_orders"),
+          count_distinct(col("l_partkey")).as("n_parts")))
+  )
+
+  // ---- oracles ---------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "s2_structure" ->
+      ("SELECT doc_id, regexp_extract(line, p, 1) AS Tag, regexp_extract(line, p, 2) AS Lang, " +
+        "regexp_extract(line, p, 3) AS Src, regexp_extract(line, p, 4) AS Rest FROM (" +
+        "SELECT doc_id, 'REQ ' || lang || ' ' || source || ': ' || substr(text, 1, 40) AS line, " +
+        "'^(.*?)\\s+(.*?)\\s+(.*?):\\s+(.*?)$' AS p FROM documents)"),
+    "f5_eventid_md5" ->
+      "SELECT doc_id, substr(md5(text), 1, 8) AS event_id FROM documents",
+    "a1_group_counts" ->
+      "SELECT lang, source, count(*) AS occurrences FROM documents GROUP BY lang, source",
+    "a4_contingency" ->
+      "SELECT source AS event_id, lang AS gt_id, count(*) AS n FROM documents GROUP BY 1, 2",
+    "j1_line_join" ->
+      ("SELECT lang, source, count(*) AS n FROM " +
+        "(SELECT a.doc_id, a.lang, b.source FROM documents a JOIN documents b ON a.doc_id = b.doc_id) " +
+        "GROUP BY lang, source"),
+    "t_token_count" ->
+      ("SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE " +
+        "len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens FROM documents"),
+    "t_quality" ->
+      ("SELECT doc_id, GREATEST(0, LEAST(100000, " +
+        "CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 40000 " +
+        "WHEN length(text) >= 50 THEN 20000 ELSE 0 END " +
+        "+ CAST(floor((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 60000 / GREATEST(length(text), 1)) AS BIGINT) " +
+        "- CAST(floor(((length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g'))) " +
+        "+ (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))) * 30000 / GREATEST(length(text), 1)) AS BIGINT)" +
+        "))::BIGINT AS quality_milli FROM documents"),
+    "t_stopword_ratio" ->
+      ("SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE " +
+        "CAST(floor(len(list_filter(string_split_regex(trim(text), '\\s+'), " +
+        "x -> list_contains(['the','of','and','a','to','in','is','it','that','for','on','with'], x))) " +
+        "* 1000 / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1)) AS BIGINT) END::BIGINT " +
+        "AS stopword_milli FROM documents"),
+    "t_fingerprint" ->
+      "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+    "d_exact_groups" ->
+      ("SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM " +
+        "(SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0) GROUP BY 1"),
+    "d_exact_dedup" ->
+      ("SELECT doc_id FROM (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0) u " +
+        "WHERE doc_id IN (SELECT min(doc_id) FROM (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0) GROUP BY md5(text))"),
+    "e_type_agg" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events GROUP BY event_type"),
+    "e_hourly" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, count(*) AS cnt " +
+        "FROM events GROUP BY 1"),
+    "e_json_extract" ->
+      ("SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k " +
+        "FROM events GROUP BY event_type"),
+    "e_sessionize" ->
+      ("SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (" +
+        "SELECT user_id, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 " +
+        "THEN 1 ELSE 0 END::BIGINT AS new_sess FROM (" +
+        "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
+        "FROM events)) GROUP BY user_id"),
+    "e_topk_users" ->
+      ("SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id " +
+        "ORDER BY purchase_cents DESC, user_id LIMIT 10"),
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, count(*) AS cnt " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus"),
+    "q3_join" ->
+      ("SELECT c_mktsegment, CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev_e4, " +
+        "count(*) AS n FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey GROUP BY c_mktsegment"),
+    "j_semi" ->
+      ("SELECT o_orderstatus, count(*) AS n FROM orders WHERE EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) GROUP BY o_orderstatus"),
+    "j_anti" ->
+      ("SELECT c_mktsegment, count(*) AS n FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment"),
+    "w_window_topk" ->
+      ("SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, rn FROM (" +
+        "SELECT l_suppkey, l_orderkey, l_linenumber, CAST(row_number() OVER " +
+        "(PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn " +
+        "FROM lineitem) WHERE rn <= 2"),
+    "set_except" ->
+      ("SELECT DISTINCT l_partkey FROM lineitem EXCEPT " +
+        "SELECT DISTINCT p_partkey AS l_partkey FROM part WHERE p_size > 40"),
+    "agg_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, " +
+        "count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_returnflag")
+  )
 }

@@ -1,0 +1,270 @@
+package graft.pipeline
+
+import graft.drain.{DrainTree, ParamExtractor}
+import graft.ingest.WebPagesGen
+import graft.rex.RexCompiler
+import graft.spell.SpellModel
+import graft.table.ParquetManifestTable
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+import scala.collection.mutable
+
+/** Pipeline configuration — mirrors the reference's per-dataset settings tuple
+  * (log_format, rex, st, depth; `benchmark.py::benchmark_settings`) plus our
+  * scale knobs.
+  *
+  * @param mineSampleLimit cap on lines mined per token-length group. The reference
+  *   mines every line; at 10^12-doc scale you mine a bounded prefix per length group
+  *   (templates saturate quickly — Drain is online) and let the match phase cover the
+  *   rest, with Spell + self-template as the residue path. None = reference-faithful
+  *   full mine (the default for correctness tests).
+  */
+final case class PipelineConfig(
+    logFormat: String,
+    rexes: Seq[String],
+    st: Double = 0.4,
+    depth: Int = 4,
+    maxChild: Int = 100,
+    tau: Double = 0.5,
+    mineSampleLimit: Option[Int] = None,
+    spellMineLimit: Int = 100000,
+    saltBuckets: Int = 8) {
+  lazy val fmt: RexCompiler.CompiledFormat = RexCompiler.compile(logFormat)
+}
+
+object PipelineConfig {
+  def hdfs: PipelineConfig = {
+    val s = WebPagesGen.HdfsStyle
+    PipelineConfig(s.logFormat, s.rexes, st = s.st, depth = s.depth)
+  }
+}
+
+/** One structured, tokenized line ready for mining. */
+final case class TokLine(len: Int, url: String, line_no: Int, tokens: Array[String])
+
+/** Frozen match-phase state: the mined Drain tree (exact mining tree, paths intact)
+  * plus the Spell residue model. Broadcast once; matching is a pure function.
+  */
+final class MatchCatalog(val drain: DrainTree, val spell: SpellModel) extends Serializable {
+  /** Returns (template, matchedBy) — matchedBy ∈ drain|spell|self. */
+  def matchLine(masked: String): (String, String) = {
+    val toks = RexCompiler.tokenize(masked)
+    val c = drain.search(toks)
+    if (c != null) (c.templateStr, "drain")
+    else {
+      val stoks = RexCompiler.tokenizeSpell(masked)
+      val sc = if (spell != null) spell.search(stoks) else null
+      if (sc != null) (sc.templateStr, "spell")
+      else (toks.mkString(" "), "self")
+    }
+  }
+}
+
+/** The parse → enrich → route → aggregate pipeline (SURVEY §3 lifecycle, §7 plan).
+  *
+  * Architecture (two phases, vs the reference's single online loop — SURVEY §7):
+  *
+  *  - '''MINE''' — deterministic distributed Drain. Drain's layer-1 key is the token
+  *    count, and clusters of different lengths never interact (every tree operation is
+  *    confined to the subtree under `rootNode.childD[seqLen]` —
+  *    `Drain/Drain.py::treeSearch/addSeqToPrefixTree`). Therefore mining each length
+  *    group independently, in canonical (url, line_no) order, produces EXACTLY the
+  *    sequential result: we `repartition($"len")` + `sortWithinPartitions` +
+  *    `mapPartitions`, then union the disjoint per-length subtrees on the driver.
+  *    The catalog is invariant to partition count — the keystone of the
+  *    routed-row-equality parity bar.
+  *
+  *  - '''MATCH''' — the frozen tree is broadcast; per-line matching is a pure
+  *    vectorized map (Drain tree walk, Spell fallback on residue, self-template last),
+  *    so it is embarrassingly parallel and deterministic at any parallelism.
+  */
+class LogPipeline(val cfg: PipelineConfig) extends Serializable {
+
+  import LogPipeline._
+
+  // ---- parse ---------------------------------------------------------------
+
+  /** S1: one event per line of `text`. `posexplode` keys lines by (url, line_no) —
+    * stable and parallel-safe (never `monotonically_increasing_id`, SURVEY S3).
+    * Only `url` + `text` are read — column pruning keeps `html` out of the scan.
+    */
+  def explodeLines(pages: DataFrame): DataFrame =
+    pages.select(col("url"),
+      posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+
+  /** S2: log_format structuring — one codegen'd `regexp_extract` per header.
+    * Unmatched lines are NOT silently dropped (reference S1 `try/except: pass`);
+    * they carry `parsed = false` and are counted into the metrics sink.
+    */
+  def structure(lines: DataFrame): DataFrame = {
+    val cols = RexCompiler.structureColumns(col("line"), cfg.fmt)
+    lines
+      .withColumn("parsed", RexCompiler.matchesFormat(col("line"), cfg.fmt))
+      .select(Seq(col("url"), col("line_no"), col("parsed")) ++ cols: _*)
+  }
+
+  /** F1+F2 prep: mask Content with the rex list, keep both raw and masked forms. */
+  def withMasked(structured: DataFrame): DataFrame =
+    structured.withColumn("masked", RexCompiler.applyMasks(col("Content"), cfg.rexes))
+
+  // ---- MINE ----------------------------------------------------------------
+
+  private def tokLines(masked: DataFrame): Dataset[TokLine] = {
+    val spark = masked.sparkSession
+    import spark.implicits._
+    masked.filter(col("parsed"))
+      .select(col("url"), col("line_no"), col("masked"))
+      .as[(String, Int, String)]
+      .map { case (url, no, m) =>
+        val t = RexCompiler.tokenize(m)
+        TokLine(t.length, url, no, t)
+      }
+  }
+
+  /** Deterministic distributed Drain mine (see class doc). Per-length groups are
+    * hash-partitioned; within a partition, lines are sorted (len, url, line_no) so
+    * each group is a contiguous, canonically-ordered run — the per-group result is
+    * bit-identical to a sequential mine at ANY partition count.
+    */
+  def mineDrain(masked: DataFrame): DrainTree = {
+    val spark = masked.sparkSession
+    import spark.implicits._
+    val cfgL = cfg
+    val partials: Array[(Int, Array[Byte])] = tokLines(masked)
+      .repartition(col("len"))
+      .sortWithinPartitions("len", "url", "line_no")
+      .mapPartitions { it =>
+        val trees = mutable.HashMap[Int, DrainTree]()
+        val mined = mutable.HashMap[Int, Int]()
+        it.foreach { t =>
+          val n = mined.getOrElse(t.len, 0)
+          if (cfgL.mineSampleLimit.forall(n < _)) {
+            trees.getOrElseUpdate(t.len,
+              new DrainTree(cfgL.depth, cfgL.st, cfgL.maxChild)).add(t.tokens)
+            mined(t.len) = n + 1
+          }
+        }
+        trees.iterator.map { case (len, tree) => (len, serialize(tree)) }
+      }.collect()
+
+    val merged = new DrainTree(cfg.depth, cfg.st, cfg.maxChild)
+    partials.sortBy(_._1).foreach { case (len, bytes) =>
+      val t = deserialize[DrainTree](bytes)
+      t.lengthLayer.get(len).foreach(node => merged.lengthLayer(len) = node)
+      merged.clusterList ++= t.clusterList
+    }
+    merged
+  }
+
+  /** Spell residue mine: lines the frozen Drain tree cannot match. Residue is small
+    * by construction (full mine → residue only from post-hoc threshold misses), so a
+    * bounded, canonically-ordered sequential mine is both deterministic and cheap;
+    * lines beyond `spellMineLimit` fall through to the self-template path.
+    */
+  def mineSpellResidue(masked: DataFrame, drain: DrainTree): SpellModel = {
+    val spark = masked.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(drain)
+    val residue: Array[(String, Int, String)] = masked.filter(col("parsed"))
+      .select(col("url"), col("line_no"), col("masked"))
+      .as[(String, Int, String)]
+      .filter { r => bc.value.search(RexCompiler.tokenize(r._3)) == null }
+      .sort("url", "line_no")
+      .limit(cfg.spellMineLimit)
+      .collect()
+    val m = new SpellModel(cfg.tau)
+    residue.foreach(r => m.add(RexCompiler.tokenizeSpell(r._3)))
+    m
+  }
+
+  // ---- MATCH ---------------------------------------------------------------
+
+  /** Broadcast-catalog match phase: adds `event_template`, `matched_by`,
+    * `event_id` (= `substring(md5(template),1,8)`, F5 — computed with the codegen'd
+    * built-in, byte-identical to the reference's hashlib call), and `parameter_list`
+    * (F6, quirk-faithful).
+    */
+  def matchPhase(masked: DataFrame, catalog: Broadcast[MatchCatalog]): DataFrame = {
+    val matcher = udf { (m: String) => catalog.value.matchLine(m) }
+    val params = udf { (template: String, content: String) =>
+      ParamExtractor.extract(template, content)
+    }
+    masked.filter(col("parsed"))
+      .withColumn("m", matcher(col("masked")))
+      .withColumn("event_template", col("m._1"))
+      .withColumn("matched_by", col("m._2"))
+      .drop("m")
+      .withColumn("event_id", substring(md5(col("event_template")), 1, 8))
+      .withColumn("parameter_list", params(col("event_template"), col("Content")))
+  }
+
+  // ---- enrich --------------------------------------------------------------
+
+  /** J-enrich: broadcast hash join on the url host against the domain dimension
+    * (SURVEY §2.3). `broadcast()` is explicit — the dim is ≤10k rows by contract.
+    */
+  def enrich(assigned: DataFrame, dim: DataFrame): DataFrame =
+    assigned
+      .withColumn("domain", parse_url(col("url"), lit("HOST")))
+      .join(broadcast(dim), Seq("domain"), "left")
+
+  // ---- route + aggregate ---------------------------------------------------
+
+  /** Salt column: spreads hot keys (template or domain) over `saltBuckets` reducers.
+    * north_rule wants skew handled explicitly; the salt is derived from the row key,
+    * not `rand()`, so retried tasks route identically (determinism under retry).
+    */
+  def saltCol: Column = pmod(xxhash64(col("url"), col("line_no")), lit(cfg.saltBuckets))
+
+  /** Fan-out: repartition by (event_id, salt) — a hot template's rows spread across
+    * salt buckets instead of hitting one reducer — then write per-template-cluster
+    * sinks via `partitionBy("event_id")` on the snapshot table (one partition dir per
+    * template cluster = one logical sink).
+    */
+  def routedWrite(enriched: DataFrame, routedTable: String, tag: String): Long = {
+    val salted = enriched.repartition(col("event_id"), saltCol)
+    ParquetManifestTable.appendTagged(
+      salted.drop("masked", "parsed"), routedTable, tag, partitionBy = Seq("event_id"))
+  }
+
+  /** A1/S5 aggregate sink: per-template occurrence counts (and per-sink row counts —
+    * the north_rule's parity quantity). Partial aggregation (map-side combine) is
+    * free from Catalyst's HashAggregate.
+    */
+  def templateCounts(assigned: DataFrame): DataFrame =
+    assigned.groupBy("event_id", "event_template")
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy("event_id", "event_template")
+}
+
+object LogPipeline {
+
+  def serialize(o: AnyRef): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val oos = new ObjectOutputStream(bos)
+    oos.writeObject(o); oos.close()
+    bos.toByteArray
+  }
+
+  def deserialize[T](b: Array[Byte]): T = {
+    val ois = new ObjectInputStream(new ByteArrayInputStream(b))
+    try ois.readObject().asInstanceOf[T] finally ois.close()
+  }
+
+  /** End-to-end single-pass run: pages → assigned lines (+catalog), no sinks.
+    * The building block for queries, bench, and the resumable runner.
+    */
+  def assignAll(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig)
+      : (MatchCatalog, DataFrame) = {
+    val p = new LogPipeline(cfg)
+    val masked = p.withMasked(p.structure(p.explodeLines(pages)))
+    val drain = p.mineDrain(masked)
+    val spell = p.mineSpellResidue(masked, drain)
+    val catalog = new MatchCatalog(drain, spell)
+    val bc = spark.sparkContext.broadcast(catalog)
+    (catalog, p.matchPhase(masked, bc))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import graft.ingest.WebPagesGen
+import graft.table.ParquetManifestTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Simulated mid-run failure for the resume test (t-resume). */
+final class SimulatedCrash(chunk: Int) extends RuntimeException(s"crash after chunk $chunk")
+
+/** Checkpoint-resumable parse→enrich→route job (north_rule: "resumable from
+  * checkpoint with per-partition lineage + metrics").
+  *
+  * Checkpointing model: the input id space is split into `nChunks` url-hash chunks;
+  * each chunk is processed and committed to the routed sink as one tagged snapshot
+  * append (`c<k>`). The snapshot manifest IS the checkpoint: commit = atomic manifest
+  * swap, so a crash leaves either a committed chunk (skipped on resume) or an
+  * invisible partial dir (safely overwritten). The mined catalog is itself
+  * checkpointed (serialized next to the sinks) so a resume reuses it — and because
+  * the miner is deterministic, a cold re-mine would produce the identical catalog.
+  *
+  * Per-chunk sinks emitted alongside the data:
+  *  - lineage: one row per written file (task output) with row count + url range —
+  *    "per-partition lineage rows" at the physical-partition grain;
+  *  - metrics: matched_by histogram + unparsed-line count (the reference silently
+  *    drops unparsed lines, S1; we count them).
+  */
+object ResumableRunner {
+
+  final case class RunReport(chunksRun: Seq[Int], chunksSkipped: Seq[Int],
+                             routedTable: String, controlTable: String,
+                             templatesTable: String)
+
+  def routedTable(outDir: String) = s"$outDir/sinks/routed"
+  def lineageTable(outDir: String) = s"$outDir/sinks/lineage"
+  def metricsTable(outDir: String) = s"$outDir/sinks/metrics"
+  def templatesTable(outDir: String) = s"$outDir/sinks/templates"
+
+  /** Load-or-mine the frozen match catalog. */
+  def catalogFor(spark: SparkSession, cfg: PipelineConfig, pages: DataFrame,
+                 outDir: String): MatchCatalog = {
+    val p = new LogPipeline(cfg)
+    val catPath = new Path(outDir, "catalog.bin")
+    val fs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(catPath)) {
+      val in = fs.open(catPath)
+      try LogPipeline.deserialize[MatchCatalog](in.readAllBytes()) finally in.close()
+    } else {
+      val masked = p.withMasked(p.structure(p.explodeLines(pages)))
+      val drain = p.mineDrain(masked)
+      val spell = p.mineSpellResidue(masked, drain)
+      val cat = new MatchCatalog(drain, spell)
+      val tmp = new Path(outDir, "catalog.bin.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(LogPipeline.serialize(cat)) finally out.close()
+      if (fs.exists(catPath)) fs.delete(catPath, false)
+      fs.rename(tmp, catPath)
+      cat
+    }
+  }
+
+  def run(spark: SparkSession, cfg: PipelineConfig, nPages: Long, outDir: String,
+          nChunks: Int = 4, failAfterChunk: Option[Int] = None): RunReport = {
+    val p = new LogPipeline(cfg)
+    val pages = WebPagesGen.pages(spark, nPages).toDF()
+    val catalog = catalogFor(spark, cfg, pages, outDir)
+    val bc = spark.sparkContext.broadcast(catalog)
+    val dim = WebPagesGen.dimDomainLang(spark)
+
+    val routed = routedTable(outDir)
+    val done: Set[Int] = ParquetManifestTable.tags(spark, routed)
+      .collect { case t if t.startsWith("c") => t.stripPrefix("c").toInt }.toSet
+
+    val ran = Seq.newBuilder[Int]
+    for (c <- 0 until nChunks if !done.contains(c)) {
+      val chunkPages = pages.filter(pmod(xxhash64(col("url")), lit(nChunks)) === c)
+      val masked = p.withMasked(p.structure(p.explodeLines(chunkPages))).persist()
+      try {
+        val assigned = p.matchPhase(masked, bc)
+        val enriched = p.enrich(assigned, dim)
+        val snapId = p.routedWrite(enriched, routed, s"c$c")
+
+        // lineage: one row per physical output file of this chunk's snapshot
+        val dataDir = ParquetManifestTable.snapshotDataDir(spark, routed, snapId)
+        val lineage = spark.read.parquet(dataDir)
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("rows"), min("url").as("min_url"), max("url").as("max_url"))
+          .withColumn("chunk", lit(c)).withColumn("snapshot_id", lit(snapId))
+        ParquetManifestTable.appendTagged(lineage, lineageTable(outDir), s"c$c")
+
+        // metrics: matched_by histogram + unparsed count
+        val unparsed = masked.filter(!col("parsed")).count()
+        val metrics = assigned.groupBy("matched_by").agg(count(lit(1)).as("rows"))
+          .union(spark.createDataFrame(Seq(("unparsed", unparsed))).toDF("matched_by", "rows"))
+          .withColumn("chunk", lit(c))
+        ParquetManifestTable.appendTagged(metrics, metricsTable(outDir), s"c$c")
+
+        ran += c
+        if (failAfterChunk.contains(c)) throw new SimulatedCrash(c)
+      } finally masked.unpersist()
+    }
+
+    // final aggregate sink: per-template counts over everything routed so far
+    val all = readRouted(spark, outDir)
+    val counts = all.groupBy("event_id", "event_template")
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy("event_id", "event_template")
+    ParquetManifestTable.append(counts, templatesTable(outDir))
+
+    RunReport(ran.result(), done.toSeq.sorted, routed, metricsTable(outDir),
+      templatesTable(outDir))
+  }
+
+  /** All routed rows committed so far (latest snapshot = union of chunk appends). */
+  def readRouted(spark: SparkSession, outDir: String): DataFrame =
+    ParquetManifestTable.read(spark, routedTable(outDir))
+}

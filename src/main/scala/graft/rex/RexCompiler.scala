@@ -1,0 +1,85 @@
+package graft.rex
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiler for the reference's `log_format` header DSL and masking regexes.
+  *
+  * The reference (goralpl/logparser, upstream logpai/logparser,
+  * `Drain/Drain.py::generate_logformat_regex` ≈L382–400 — see SURVEY.md §0.1 for the
+  * citation caveat) turns a format string like
+  * `"<Date> <Time> <Pid> <Level> <Component>: <Content>"` into an anchored regex with
+  * one group per `<Header>`, where literal runs of spaces match `\s+`.
+  *
+  * We reproduce that compilation but target the Java regex dialect (what Catalyst's
+  * `regexp_extract` executes) and positional groups (group i+1 = i-th header), because
+  * `regexp_extract` addresses groups by index. Literal segments of the format string
+  * are passed through verbatim (the reference does the same), so a format author must
+  * escape regex metacharacters (e.g. `\[<Time>\]`) — exactly as the reference's
+  * `benchmark_settings` formats do.
+  */
+object RexCompiler {
+
+  final case class CompiledFormat(headers: Seq[String], pattern: String) {
+    def groupIndex(header: String): Int = headers.indexOf(header) + 1
+  }
+
+  private val HeaderToken = "<[^<>]+>".r
+
+  /** Faithful port of `generate_logformat_regex`: split on `(<[^<>]+>)`, literal parts
+    * get runs-of-spaces → `\s+`, header parts become capture groups `(.*?)`, anchored.
+    */
+  def compile(logFormat: String): CompiledFormat = {
+    val sb = new StringBuilder("^")
+    val headers = Seq.newBuilder[String]
+    var last = 0
+    for (m <- HeaderToken.findAllMatchIn(logFormat)) {
+      if (m.start > last) sb.append(literalPart(logFormat.substring(last, m.start)))
+      val h = m.matched.stripPrefix("<").stripSuffix(">")
+      headers += h
+      sb.append("(.*?)")
+      last = m.end
+    }
+    if (last < logFormat.length) sb.append(literalPart(logFormat.substring(last)))
+    sb.append("$")
+    CompiledFormat(headers.result(), sb.toString)
+  }
+
+  /** Literal format text: replace runs of spaces with `\s+` (reference:
+    * `re.sub(' +', '\\\\s+', splitter)`); everything else verbatim.
+    */
+  private def literalPart(s: String): String = s.replaceAll(" +", "\\\\s+")
+
+  /** One `regexp_extract` column per header — all codegen'd, no UDF (SURVEY §2.1 S2). */
+  def structureColumns(line: Column, fmt: CompiledFormat): Seq[Column] =
+    fmt.headers.zipWithIndex.map { case (h, i) =>
+      regexp_extract(line, fmt.pattern, i + 1).as(h)
+    }
+
+  /** A line "matches" the format iff the anchored pattern matches (reference drops
+    * non-matching lines silently — S1; we filter + count them instead).
+    */
+  def matchesFormat(line: Column, fmt: CompiledFormat): Column = line.rlike(fmt.pattern)
+
+  /** The reference's `preprocess` (F1): for each masking regex, replace every match
+    * with `<*>`, in list order. Chained `regexp_replace` — Catalyst codegens the chain.
+    */
+  def applyMasks(col: Column, rexes: Seq[String]): Column =
+    rexes.foldLeft(col)((c, r) => regexp_replace(c, r, "<*>"))
+
+  /** Driver-side variant for the sequential oracle and pure-Scala tests. */
+  def applyMasksStr(s: String, rexes: Seq[String]): String =
+    rexes.foldLeft(s)((acc, r) => acc.replaceAll(r, "<*>"))
+
+  /** Whitespace tokenization matching Python's `str.strip().split()` (F2):
+    * strip unicode whitespace, split on whitespace runs, drop empties.
+    */
+  def tokenize(s: String): Array[String] = {
+    val t = s.strip()
+    if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+  }
+
+  /** Spell's tokenizer (F3): split on `[\s=:,]`, drop empties. */
+  def tokenizeSpell(s: String): Array[String] =
+    s.split("[\\s=:,]").filter(_.nonEmpty)
+}

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents` table:
+  * token counting, quality scoring, language ID, fingerprinting. All column
+  * expressions here are built-ins (codegen'd, no UDF) except where noted.
+  */
+object TextOps {
+
+  /** Whitespace token count (Python `len(s.split())` semantics: 0 for blank). */
+  def tokenCount(c: Column): Column =
+    when(trim(c) === "", lit(0)).otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword count approximation: word-boundary pieces + digit runs +
+    * punctuation each count as a token (a cheap, deterministic proxy for a real
+    * tokenizer's token count — useful for budget accounting at scale).
+    */
+  def subwordCount(c: Column): Column =
+    size(filter(split(c, "(?<=[a-z])(?=[A-Z])|\\s+|(?=[^A-Za-z0-9\\s])|(?<=[^A-Za-z0-9\\s])"),
+      x => x =!= ""))
+
+  def charCount(c: Column): Column = length(c)
+  def alphaChars(c: Column): Column = length(c) - length(regexp_replace(c, "[A-Za-z]", ""))
+  def digitChars(c: Column): Column = length(c) - length(regexp_replace(c, "[0-9]", ""))
+  def punctChars(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[!-/:-@\\[-`{-~]", ""))
+
+  /** Quality score in [0,100000] (milli-points): length band + alpha ratio −
+    * punct/digit noise. floor() of small-int double division is bit-identical across
+    * engines, so the DuckDB oracle reproduces it exactly — no rounding hazards.
+    */
+  def qualityScoreMilli(c: Column): Column = {
+    val len = length(c).cast("long")
+    val alpha = alphaChars(c).cast("long")
+    val punct = punctChars(c).cast("long")
+    val digit = digitChars(c).cast("long")
+    val lenBand = when(len >= 200 && len <= 20000, lit(40000L))
+      .when(len >= 50, lit(20000L)).otherwise(lit(0L))
+    val alphaPart = floor(alpha * 60000L / greatest(len, lit(1L))).cast("long")
+    val noisePart = floor((punct + digit) * 30000L / greatest(len, lit(1L))).cast("long")
+    greatest(lit(0L), least(lit(100000L), lenBand + alphaPart - noisePart))
+  }
+
+  /** Stopword ratio via higher-order functions (no UDF): fraction of tokens in the
+    * stopword set, scaled by 1000 (integer).
+    */
+  def stopwordRatioMilli(c: Column, stopwords: Seq[String]): Column = {
+    val toks = split(trim(c), "\\s+")
+    val sw = array(stopwords.map(lit): _*)
+    when(trim(c) === "", lit(0L)).otherwise(
+      floor(size(filter(toks, t => array_contains(sw, t))).cast("long") * 1000L /
+        greatest(size(toks).cast("long"), lit(1L))).cast("long"))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "of", "and", "a", "to", "in", "is", "it", "that", "for", "on", "with")
+
+  /** Language-ID marker words (tiny n-gram/stopword heuristic — langid at web scale
+    * is a scored marker lookup, which is a pure column expression; a real model would
+    * slot in as a scorer per language with the same argmax shape).
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "that", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans", "pour"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有"))
+
+  /** Predicted language = argmax of marker-hit counts (ties → earlier language;
+    * no hits → "und"). Pure column expression over tokens.
+    */
+  def langId(c: Column): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val scores = LangMarkers.map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(m, t))).as("score"), lit(lang).as("lang"))
+    }
+    // argmax: sort (score, -position) — array_max on structs compares field-by-field;
+    // to keep ties deterministic toward earlier languages, append reversed index.
+    val withIdx = scores.zipWithIndex.map { case (s, i) =>
+      struct(s.getField("score").as("score"), lit(LangMarkers.size - i).as("prio"),
+        s.getField("lang").as("lang"))
+    }
+    val best = array_max(array(withIdx: _*))
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Normalized-text md5 fingerprint (exact-dup key): lowercase, collapse whitespace. */
+  def normFingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** 64-bit rolling (FNV-1a-style polynomial) document fingerprint over tokens —
+    * order-sensitive, unlike an md5 of the bag of words. Needs wrapping long
+    * arithmetic, which Spark 4's ANSI mode rejects in column expressions, so this is
+    * a small pure UDF (deterministic, no state).
+    */
+  val rollingFingerprint = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      var h = 1469598103934665603L
+      text.trim.split("\\s+").foreach { t =>
+        var th = -3750763034362895579L // FNV offset basis
+        var i = 0
+        while (i < t.length) { th ^= t.charAt(i).toLong; th *= 1099511628211L; i += 1 }
+        h = h * 1099511628211L + th
+      }
+      h
+    }
+  }
+}

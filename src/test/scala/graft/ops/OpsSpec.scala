@@ -1,0 +1,155 @@
+package graft.ops
+
+import graft.SparkSuite
+import graft.dedup.Dedup
+import graft.eval.Evaluator
+import graft.sim.Ann
+import graft.text.TextOps
+import graft.mm.Multimodal
+import graft.ingest.WebPagesGen
+import org.apache.spark.sql.functions._
+
+/** Specs for the training-data operator families: text analysis, dedup, ANN,
+  * multimodal plumbing, evaluator.
+  */
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),       // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // near dup
+    (3L, "completely different content about spark engines"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("text: token count / quality / stopword ratio / fingerprints") {
+    val r = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.qualityScoreMilli(col("text")).as("q"),
+      TextOps.stopwordRatioMilli(col("text"), TextOps.EnglishStopwords).as("sw"),
+      TextOps.normFingerprint(col("text")).as("fp"),
+      TextOps.rollingFingerprint(col("text")).as("rfp"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getInt(1) == 9)
+    assert(r(4L).getInt(1) == 0)
+    assert(r(0L).getLong(3) == 222L) // 2 'the' of 9 tokens → floor(2000/9)
+    assert(r(0L).getString(4) == r(1L).getString(4)) // exact dups same fp
+    assert(r(0L).getString(4) != r(2L).getString(4))
+    assert(r(0L).getLong(5) == r(1L).getLong(5))
+    assert(r(0L).getLong(5) != r(2L).getLong(5))
+    assert(r(0L).getLong(3) > r(3L).getLong(3)) // stopword-rich scores higher sw ratio
+  }
+
+  test("text: langId picks marker language, 'und' when no markers") {
+    val d = Seq(
+      (1L, "the cat is on the mat and the dog is in the house"),
+      (2L, "el gato de la casa que los perros una vez por"),
+      (3L, "der hund und die katze das haus nicht ein mit"),
+      (4L, "xyzzy qwerty asdf")).toDF("id", "text")
+    val out = d.select(col("id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "und"))
+  }
+
+  test("dedup: exact groups and keep-min semantics") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 4) // 0&1 collapse
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("dedup: minhash-LSH finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      k = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dedup: ngram jaccard exact pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs.filter(col("doc_id") < 4), "doc_id", "text",
+      k = 2, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect()
+    val m = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((0L, 1L)) == 1.0)
+    assert(m.contains((0L, 2L)))
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dedup: simhash hamming-0 catches exact dups") {
+    val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ann: cosine + brute-force top-k on known vectors") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs, "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f), 2)
+      .select("id").as[Long].collect().toSeq
+    assert(top == Seq(0L, 1L))
+  }
+
+  test("ann: LSH top-k ≈ brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 7).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val brute = Ann.bruteForceTopK(e, "vec_id", "embedding", q, 5)
+      .select("id").as[Long].collect().toSet
+    val lsh = Ann.lshTopK(e, "vec_id", "embedding", 64, q, 5, planes = 10, probeHamming = 4)
+      .select("id").as[Long].collect().toSet
+    assert(lsh.contains(7L)) // query vector always found (bucket distance 0)
+    assert((brute intersect lsh).size >= 2, s"brute=$brute lsh=$lsh")
+  }
+
+  test("ann: embedding near-dup pairs via hyperplane LSH") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+    val withDups = e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(0.0001f))))
+    val pairs = Dedup.embeddingDupPairs(withDups, "vec_id", "embedding", 64,
+      planes = 8, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(Set((0L, 1000L), (10L, 1010L), (20L, 1020L), (30L, 1030L), (40L, 1040L))
+      .subsetOf(pairs), s"pairs=$pairs")
+  }
+
+  test("multimodal: stub decode produces stable features and metadata") {
+    val pages = WebPagesGen.pages(spark, 20).toDF()
+    val f1 = Multimodal.featureTable(spark, pages).orderBy("url").collect()
+    val f2 = Multimodal.featureTable(spark, pages.repartition(5)).orderBy("url").collect()
+    assert(f1.length == 20)
+    assert(f1.map(_.getString(3)).toSeq == f2.map(_.getString(3)).toSeq) // deterministic
+    assert(f1.forall(_.getString(1) == "html"))
+    assert(f1.forall(_.getSeq[Float](6).length == 32))
+  }
+
+  test("evaluator: perfect parse scores 1.0 PA / F1, split-group penalizes PA") {
+    val perfect = Seq(("a", "g1"), ("a", "g1"), ("b", "g2"), ("b", "g2"))
+      .toDF("event_id", "gt_id")
+    val s1 = Evaluator.evaluate(perfect)
+    assert(s1.parsingAccuracy == 1.0 && s1.f1 == 1.0)
+
+    // parsed splits g1 into two groups: those 2 lines no longer 1:1
+    val split = Seq(("a", "g1"), ("c", "g1"), ("b", "g2"), ("b", "g2"))
+      .toDF("event_id", "gt_id")
+    val s2 = Evaluator.evaluate(split)
+    assert(s2.parsingAccuracy == 0.5)
+    assert(s2.recall < 1.0 && s2.precision == 1.0)
+
+    // parsed merges g1+g2: pairs precision drops
+    val merged = Seq(("a", "g1"), ("a", "g1"), ("a", "g2"), ("a", "g2"))
+      .toDF("event_id", "gt_id")
+    val s3 = Evaluator.evaluate(merged)
+    assert(s3.parsingAccuracy == 0.0)
+    assert(s3.precision < 1.0 && s3.recall == 1.0)
+  }
+}

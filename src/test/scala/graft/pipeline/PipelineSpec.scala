@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import graft.drain.DrainTree
+import graft.eval.Evaluator
+import graft.ingest.WebPagesGen
+import graft.rex.RexCompiler
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSuite {
+
+  private val cfg = PipelineConfig.hdfs
+  private val N = 200L // ~2.3k lines
+
+  private lazy val pages = WebPagesGen.pages(spark, N).toDF().cache()
+  private lazy val pipe = new LogPipeline(cfg)
+  private lazy val masked = pipe.withMasked(pipe.structure(pipe.explodeLines(pages)))
+
+  /** Sequential oracle: collect all masked lines in canonical order, mine on the
+    * driver with the faithful single-threaded algorithm (t-golden, SURVEY §5.2).
+    */
+  private lazy val sequentialCatalog: Seq[(String, String, Long)] = {
+    val lines = masked.filter(col("parsed"))
+      .select("url", "line_no", "masked")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .sortBy(r => (r._1, r._2))
+    DrainTree.mine(lines.iterator.map(r => RexCompiler.tokenize(r._3)),
+      cfg.depth, cfg.st, cfg.maxChild).catalog()
+  }
+
+  test("structuring parses every generated line; headers extracted") {
+    val s = pipe.structure(pipe.explodeLines(pages))
+    assert(s.filter(!col("parsed")).count() == 0)
+    val row = s.filter(col("url").endsWith("/p/0")).filter(col("line_no") === 0)
+      .select("Date", "Level", "Content").collect()(0)
+    assert(row.getString(0) == "240101")
+    assert(Set("INFO", "WARN", "ERROR").contains(row.getString(1)))
+    assert(row.getString(2).nonEmpty)
+  }
+
+  test("byte-identity invariant: explode(split) round-trips text per url") {
+    val lines = pipe.explodeLines(pages)
+    val rebuilt = lines.groupBy("url")
+      .agg(array_join(array_sort(collect_list(struct(col("line_no"), col("line"))))
+        .getField("line"), "\n").as("text2"))
+    val cmp = pages.select(col("url"), md5(col("text")).as("h1"))
+      .join(rebuilt.select(col("url"), md5(col("text2")).as("h2")), "url")
+    assert(cmp.filter(col("h1") =!= col("h2")).count() == 0)
+  }
+
+  test("distributed mine == sequential oracle mine (t-golden), at any partitioning") {
+    val dist = pipe.mineDrain(masked).catalog()
+    assert(dist == sequentialCatalog)
+    val dist7 = pipe.mineDrain(masked.repartition(7)).catalog()
+    assert(dist7 == sequentialCatalog)
+    val dist1 = pipe.mineDrain(masked.coalesce(1)).catalog()
+    assert(dist1 == sequentialCatalog)
+  }
+
+  test("mined templates cover the generator's template pool with high PA") {
+    val (_, assigned) = LogPipeline.assignAll(spark, pages, cfg)
+    val gt = WebPagesGen.groundTruth(spark, N).toDF()
+    val joined = assigned.select("url", "line_no", "event_id")
+      .join(gt, Seq("url", "line_no"))
+      .withColumnRenamed("gt_tpl", "gt_id")
+    val scores = Evaluator.evaluate(joined)
+    info(s"PA=${scores.parsingAccuracy} F1=${scores.f1} total=${scores.total}")
+    assert(scores.total == masked.count())
+    assert(scores.parsingAccuracy >= 0.85, s"PA too low: $scores")
+    assert(scores.f1 >= 0.9, s"F1 too low: $scores")
+  }
+
+  test("match phase is deterministic and covers every parsed line") {
+    val (_, a1) = LogPipeline.assignAll(spark, pages, cfg)
+    val (_, a2) = LogPipeline.assignAll(spark, pages.repartition(9), cfg)
+    val c1 = a1.groupBy("event_id").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val c2 = a2.groupBy("event_id").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(c1 == c2)
+    assert(a1.filter(col("event_template").isNull).count() == 0)
+  }
+
+  test("per-sink template-count parity: 1-partition vs 4-partition routed rows identical") {
+    val (_, a4) = LogPipeline.assignAll(spark, pages, cfg)
+    val (_, a1) = LogPipeline.assignAll(spark, pages.coalesce(1), cfg)
+    val k4 = a4.select("url", "line_no", "event_id", "event_template")
+    val k1 = a1.select("url", "line_no", "event_id", "event_template")
+    assert(k4.exceptAll(k1).count() == 0)
+    assert(k1.exceptAll(k4).count() == 0)
+  }
+
+  test("enrich: broadcast join attaches region/tier for every row") {
+    val (_, assigned) = LogPipeline.assignAll(spark, pages, cfg)
+    val enriched = pipe.enrich(assigned, WebPagesGen.dimDomainLang(spark))
+    assert(enriched.filter(col("region").isNull).count() == 0)
+    val plan = enriched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("parameter extraction returns slot values for slotted templates") {
+    val (_, assigned) = LogPipeline.assignAll(spark, pages, cfg)
+    val r = assigned
+      .filter(col("event_template") === "PacketResponder <*> for block <*> terminating")
+      .select("parameter_list", "Content").limit(1).collect()
+    if (r.nonEmpty) {
+      val ps = r(0).getSeq[String](0)
+      assert(ps.length == 2)
+      assert(r(0).getString(1).contains(ps(1)))
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft.rex
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RexCompilerSpec extends AnyFunSuite {
+
+  test("HDFS-style format compiles to the expected anchored positional regex") {
+    val f = RexCompiler.compile("<Date> <Time> <Pid> <Level> <Component>: <Content>")
+    assert(f.headers == Seq("Date", "Time", "Pid", "Level", "Component", "Content"))
+    assert(f.pattern ==
+      "^(.*?)\\s+(.*?)\\s+(.*?)\\s+(.*?)\\s+(.*?):\\s+(.*?)$")
+    val line = "240101 120000 345 INFO dfs.DataNode: Received block blk_99"
+    val m = java.util.regex.Pattern.compile(f.pattern).matcher(line)
+    assert(m.find())
+    assert(m.group(f.groupIndex("Date")) == "240101")
+    assert(m.group(f.groupIndex("Level")) == "INFO")
+    assert(m.group(f.groupIndex("Component")) == "dfs.DataNode")
+    assert(m.group(f.groupIndex("Content")) == "Received block blk_99")
+  }
+
+  test("escaped literal brackets in the format pass through (Apache-style)") {
+    val f = RexCompiler.compile("\\[<Time>\\] \\[<Level>\\] <Content>")
+    assert(f.headers == Seq("Time", "Level", "Content"))
+    val m = java.util.regex.Pattern.compile(f.pattern)
+      .matcher("[Sun Dec 04] [error] mod_jk child workerEnv in error state 6")
+    assert(m.find())
+    assert(m.group(2) == "error")
+  }
+
+  test("multi-space literal runs become \\s+") {
+    val f = RexCompiler.compile("<A>   <B>")
+    assert(f.pattern == "^(.*?)\\s+(.*?)$")
+  }
+
+  test("masking (F1): list order matters, all occurrences replaced") {
+    val masked = RexCompiler.applyMasksStr(
+      "Receiving block blk_-123 src: /10.0.0.1:5001 dest: /10.0.0.2:5002",
+      Seq("blk_(|-)[0-9]+", "(/|)(\\d+\\.){3}\\d+(:\\d+)?"))
+    assert(masked == "Receiving block <*> src: <*> dest: <*>")
+  }
+
+  test("tokenize matches Python str.strip().split() semantics") {
+    assert(RexCompiler.tokenize("  a  b\tc ").toSeq == Seq("a", "b", "c"))
+    assert(RexCompiler.tokenize("").isEmpty)
+    assert(RexCompiler.tokenize("   ").isEmpty)
+  }
+
+  test("Spell tokenizer splits on whitespace = : , and drops empties") {
+    assert(RexCompiler.tokenizeSpell("k=v, x:y z").toSeq == Seq("k", "v", "x", "y", "z"))
+  }
+}
