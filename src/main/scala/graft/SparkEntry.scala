@@ -104,6 +104,33 @@ object SparkEntry {
         .toDF("precision", "recall", "f1", "parsing_accuracy", "total")
     }),
 
+    "log_spell_templates" -> ((s, dir) => {
+      // Spell as the PRIMARY miner (reference ships it as a full parser): sequential
+      // deterministic mine over a bounded canonical prefix, like its online design.
+      val cfg = PipelineConfig.hdfs
+      val p = new LogPipeline(cfg)
+      val pages = WebPagesGen.pages(s, 300).toDF()
+      val masked = p.withMasked(p.structure(p.explodeLines(pages)))
+      val lines = masked.filter(col("parsed")).select("url", "line_no", "masked")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .sortBy(r => (r._1, r._2))
+      val model = graft.spell.SpellModel.mine(
+        lines.iterator.map(r => RexCompiler.tokenizeSpell(r._3)), cfg.tau)
+      import s.implicits._
+      model.clusterList.toSeq
+        .map(c => (graft.drain.DrainTree.eventId(c.templateStr), c.templateStr, c.count))
+        .sortBy(x => (x._2, x._1))
+        .toDF("event_id", "event_template", "occurrences")
+    }),
+    "log_resume_metrics" -> ((s, dir) => {
+      // checkpoint-resume surface: chunked run → per-chunk metrics control sink
+      val out = java.nio.file.Files.createTempDirectory("graft_resume_q").toString
+      val rep = graft.pipeline.ResumableRunner.run(s, PipelineConfig.hdfs, 100L, out,
+        nChunks = 3)
+      graft.table.ParquetManifestTable.read(s, rep.controlTable)
+        .orderBy("chunk", "matched_by")
+    }),
+
     // ---------- S2/F5/A1 primitives with real DuckDB oracles ------------------
     "s2_structure" -> ((s, dir) => {
       val fmt = RexCompiler.compile("<Tag> <Lang> <Src>: <Rest>")
@@ -151,6 +178,9 @@ object SparkEntry {
     "t_rolling_fp" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.rollingFingerprint(col("text")).as("rfp"))),
+    "t_subword_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
 
     // ---------- dedup ---------------------------------------------------------
     "d_exact_groups" -> ((s, dir) =>
@@ -189,6 +219,14 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0)
       Ann.lshTopK(e, "vec_id", "embedding", 64, q, 10, planes = 10, probeHamming = 3)
+        .select(col("id"), round(col("score"), 4).as("score4"))
+    }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      val idx = Ann.ivfFit(e, "vec_id", "embedding", k = 8, iters = 2)
+      Ann.ivfTopK(idx, q, k = 10, nProbe = 3)
         .select(col("id"), round(col("score"), 4).as("score4"))
     }),
     "ann_topk_join" -> ((s, dir) => {
@@ -322,6 +360,17 @@ object SparkEntry {
         "AS stopword_milli FROM documents"),
     "t_fingerprint" ->
       "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+    "t_langid" ->
+      ("SELECT doc_id, CASE WHEN best = 0 THEN 'und' WHEN s1 = best THEN 'en' " +
+        "WHEN s2 = best THEN 'es' WHEN s3 = best THEN 'de' WHEN s4 = best THEN 'fr' " +
+        "ELSE 'zh' END AS pred_lang FROM (SELECT doc_id, s1, s2, s3, s4, s5, " +
+        "GREATEST(s1, s2, s3, s4, s5) AS best FROM (SELECT doc_id, " +
+        "len(list_filter(toks, x -> list_contains(['the','and','of','is','that','with','for'], x))) AS s1, " +
+        "len(list_filter(toks, x -> list_contains(['el','la','de','que','los','una','por'], x))) AS s2, " +
+        "len(list_filter(toks, x -> list_contains(['der','die','und','das','nicht','ein','mit'], x))) AS s3, " +
+        "len(list_filter(toks, x -> list_contains(['le','les','des','est','une','dans','pour'], x))) AS s4, " +
+        "len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有'], x))) AS s5 " +
+        "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents))) "),
     "d_exact_groups" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM " +
         "(SELECT doc_id, text FROM documents UNION ALL " +

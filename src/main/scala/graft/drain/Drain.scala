@@ -108,19 +108,29 @@ final class DrainTree(val depth: Int = 4, val st: Double = 0.4, val maxChild: In
   }
 
   /** Reference `::fastMatch` ≈L182–205: max similarity, tie-break more parameters,
-    * accept iff sim ≥ st.
+    * accept iff sim ≥ st. Hot path: integer comparisons only (sim ratios share the
+    * denominator len, so comparing simTokens counts is exact), zero allocation.
     */
   def fastMatch(clusters: Seq[LogCluster], seq: Array[String]): LogCluster = {
-    var maxSim = -1.0
+    var maxSimTok = -1
     var maxPar = -1
     var best: LogCluster = null
+    val n = seq.length
     clusters.foreach { c =>
-      val (sim, par) = seqDist(c.template, seq)
-      if (sim > maxSim || (sim == maxSim && par > maxPar)) {
-        maxSim = sim; maxPar = par; best = c
+      val tpl = c.template
+      var sim = 0; var par = 0; var i = 0
+      while (i < n) {
+        val t = tpl(i)
+        if (t.length == 3 && t == Wildcard) par += 1
+        else if (t == seq(i)) sim += 1
+        i += 1
+      }
+      if (sim > maxSimTok || (sim == maxSimTok && par > maxPar)) {
+        maxSimTok = sim; maxPar = par; best = c
       }
     }
-    if (maxSim >= st) best else null
+    if (n == 0) null
+    else if (maxSimTok.toDouble / n >= st) best else null
   }
 
   /** Reference `::getTemplate` ≈L207–220: position-wise keep equal tokens, else `<*>`. */
@@ -192,12 +202,17 @@ final class DrainTree(val depth: Int = 4, val st: Double = 0.4, val maxChild: In
       addSeqToPrefixTree(c)
       c
     } else {
-      val newTemplate = getTemplate(tokens, matched.template)
       matched.count += 1
-      if (!java.util.Arrays.equals(
-            newTemplate.asInstanceOf[Array[AnyRef]],
-            matched.template.asInstanceOf[Array[AnyRef]]))
-        matched.template = newTemplate
+      // allocate a generalized template only if some position actually changes
+      // (the overwhelmingly common case is "no change")
+      val tpl = matched.template
+      var i = 0
+      var differs = false
+      while (i < tokens.length && !differs) {
+        if (tokens(i) != tpl(i) && tpl(i) != Wildcard) differs = true
+        i += 1
+      }
+      if (differs) matched.template = getTemplate(tokens, tpl)
       matched
     }
   }

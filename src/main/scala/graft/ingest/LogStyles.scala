@@ -1,0 +1,144 @@
+package graft.ingest
+
+import WebPagesGen.mix
+
+/** Multi-style log fixtures — the engine-side analog of the reference's
+  * `<Algo>/benchmark.py::benchmark_settings` sweep (per-dataset log_format + rex +
+  * st/depth). Format strings and rex lists follow the reference's configuration
+  * shapes (FIXTURES.md §3); all line CONTENT below is original.
+  */
+object LogStyles {
+
+  private def pick(h: Long, n: Int): Int = ((h & Long.MaxValue) % n).toInt
+
+  final case class StyleSpec(
+      style: LogStyle,
+      templates: IndexedSeq[String],
+      header: (Long, Int, Long) => String) // (rowId, lineNo, h) => header prefix
+
+  // ---- Apache-style: `\[<Time>\] \[<Level>\] <Content>` -----------------------
+  private val apacheTemplates = IndexedSeq(
+    "worker env reinit for vhost {num}",
+    "child process {num} exited with status {num}",
+    "client {iph} denied by server configuration",
+    "connection to backend {iph} failed retry {num}",
+    "cache expired for entry {hex}",
+    "module jk2 state {num} recovered",
+    "request queue saturated at depth {num}",
+    "ssl handshake with {iph} renegotiated")
+
+  val Apache: StyleSpec = StyleSpec(
+    LogStyle("apache", "\\[<Time>\\] \\[<Level>\\] <Content>",
+      Seq("(\\d+\\.){3}\\d+"), st = 0.5, depth = 4),
+    apacheTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 17 + lineNo) % 86400
+      val lvl = IndexedSeq("notice", "error", "warn")(pick(mix(h, 31), 3))
+      f"[Mon Jan 01 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d 2024] [$lvl] "
+    })
+
+  // ---- Proxifier-style (hard case): `\[<Time>\] <Program> - <Content>` --------
+  private val proxifierTemplates = IndexedSeq(
+    "{host} open through proxy {host} HTTPS",
+    "{host} close {num} bytes sent {num} bytes received lifetime {dur}",
+    "{host} error could not connect through proxy {host} timeout",
+    "{host} resolve {host} via proxy",
+    "open directly {host}",
+    "close directly {host} {num} bytes")
+
+  val Proxifier: StyleSpec = StyleSpec(
+    LogStyle("proxifier", "\\[<Time>\\] <Program> - <Content>",
+      Seq("<\\d+\\ssec", "([\\w-]+\\.)+[\\w-]+(:\\d+)?", "\\d{2}:\\d{2}(:\\d{2})*",
+        "[KGTM]B"),
+      st = 0.6, depth = 3),
+    proxifierTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 19 + lineNo) % 86400
+      val prog = IndexedSeq("chrome.exe", "telegram.exe", "ssh.exe")(pick(mix(h, 32), 3))
+      f"[01.01 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d] $prog - "
+    })
+
+  // ---- Spark-style: `<Date> <Time> <Level> <Component>: <Content>` ------------
+  private val sparkTemplates = IndexedSeq(
+    "Starting task {num} in stage {num} TID {num}",
+    "Finished task {num} in stage {num} in {num} ms",
+    "Registering block manager {host} with {num} {unit} RAM",
+    "Removed broadcast {num} of size {num} {unit}",
+    "Lost executor {num} on {host} heartbeat timed out after {num} ms",
+    "Submitting {num} missing tasks from stage {num}",
+    "Block {hex} stored as values in memory estimated size {num} {unit}",
+    "Executor added {host} with {num} cores")
+
+  val SparkStyle: StyleSpec = StyleSpec(
+    LogStyle("spark", "<Date> <Time> <Level> <Component>: <Content>",
+      Seq("(\\d+\\.){3}\\d+", "\\b[KGTM]?B\\b", "([\\w-]+\\.){2,}[\\w-]+"),
+      st = 0.5, depth = 4),
+    sparkTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 23 + lineNo) % 86400
+      val lvl = IndexedSeq("INFO", "INFO", "WARN", "ERROR")(pick(mix(h, 33), 4))
+      val comp = IndexedSeq("storage.BlockManager", "scheduler.TaskSetManager",
+        "executor.Executor")(pick(mix(h, 34), 3))
+      f"24/01/01 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d $lvl $comp: "
+    })
+
+  val all: Seq[StyleSpec] = Seq(Apache, Proxifier, SparkStyle)
+
+  /** Render the content slots for non-HDFS styles. */
+  def fillSlots(tpl: String, h0: Long): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var slot = 0
+    while (i < tpl.length) {
+      val c = tpl.charAt(i)
+      if (c == '{') {
+        val end = tpl.indexOf('}', i)
+        val kind = tpl.substring(i + 1, end)
+        val h = mix(h0, 300 + slot)
+        slot += 1
+        sb.append(kind match {
+          case "num"  => String.valueOf((h & Long.MaxValue) % 100000L)
+          case "hex"  => java.lang.Long.toHexString(h & 0xFFFFFFL)
+          case "iph"  => s"10.${pick(mix(h, 1), 256)}.${pick(mix(h, 2), 256)}.${pick(mix(h, 3), 256)}"
+          case "host" => s"srv-${pick(mix(h, 4), 40)}.example.com:${440 + pick(mix(h, 5), 60)}"
+          case "dur"  => f"${pick(mix(h, 6), 24)}%02d:${pick(mix(h, 7), 60)}%02d"
+          case "unit" => IndexedSeq("KB", "MB", "GB")(pick(mix(h, 8), 3))
+        })
+        i = end + 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def lineFor(spec: StyleSpec, rowId: Long, lineNo: Int): (String, Int) = {
+    val h0 = mix(rowId, 5000L + lineNo)
+    val tplIdx = pick(mix(rowId, 6000L + lineNo), spec.templates.size)
+    val content = fillSlots(spec.templates(tplIdx), h0)
+    (spec.header(rowId, lineNo, h0) + content, tplIdx)
+  }
+
+  /** Styled pages + groundtruth, same determinism contract as WebPagesGen. */
+  def pagesFor(spark: org.apache.spark.sql.SparkSession, spec: StyleSpec, n: Long)
+      : org.apache.spark.sql.Dataset[WebPage] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { rowId =>
+      val lines = (0 until WebPagesGen.linesPerPage(rowId))
+        .map(i => lineFor(spec, rowId, i)._1)
+      val text = lines.mkString("\n")
+      val url = s"https://${WebPagesGen.domainFor(rowId)}/${spec.style.name}/$rowId"
+      WebPage(url, new java.sql.Timestamp(1704067200000L + rowId * 997L),
+        s"<html><body>$text</body></html>".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        text, "en")
+    }
+  }
+
+  def groundTruthFor(spark: org.apache.spark.sql.SparkSession, spec: StyleSpec, n: Long)
+      : org.apache.spark.sql.Dataset[GroundTruthLine] = {
+    import spark.implicits._
+    spark.range(n).as[Long].flatMap { rowId =>
+      val url = s"https://${WebPagesGen.domainFor(rowId)}/${spec.style.name}/$rowId"
+      (0 until WebPagesGen.linesPerPage(rowId))
+        .map(i => GroundTruthLine(url, i, lineFor(spec, rowId, i)._2))
+    }
+  }
+}

@@ -42,9 +42,6 @@ object PipelineConfig {
   }
 }
 
-/** One structured, tokenized line ready for mining. */
-final case class TokLine(len: Int, url: String, line_no: Int, tokens: Array[String])
-
 /** Frozen match-phase state: the mined Drain tree (exact mining tree, paths intact)
   * plus the Spell residue model. Broadcast once; matching is a pure function.
   */
@@ -95,15 +92,22 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
     pages.select(col("url"),
       posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
 
-  /** S2: log_format structuring — one codegen'd `regexp_extract` per header.
-    * Unmatched lines are NOT silently dropped (reference S1 `try/except: pass`);
-    * they carry `parsed = false` and are counted into the metrics sink.
+  /** S2: log_format structuring — ONE regex execution per line via the custom
+    * codegen expression [[graft.functions.RegexpExtractGroups]] (all headers + the
+    * matched flag from a single match; the built-in route costs headers+1 executions
+    * of the same pattern). Unmatched lines are NOT silently dropped (reference S1
+    * `try/except: pass`); they carry `parsed = false` and are counted into the
+    * metrics sink.
     */
   def structure(lines: DataFrame): DataFrame = {
-    val cols = RexCompiler.structureColumns(col("line"), cfg.fmt)
-    lines
-      .withColumn("parsed", RexCompiler.matchesFormat(col("line"), cfg.fmt))
-      .select(Seq(col("url"), col("line_no"), col("parsed")) ++ cols: _*)
+    val g = graft.functions.RegexpExtractGroups(col("line"), cfg.fmt.pattern)
+    val headerCols = cfg.fmt.headers.zipWithIndex.map { case (h, i) =>
+      col("g").getItem(i).as(h)
+    }
+    val withG = lines.withColumn("g", g).withColumn("parsed", col("g").isNotNull)
+    // passthrough: every input column except the raw line and the groups array
+    val keep = withG.columns.filter(c => c != "g" && c != "line").map(col).toSeq
+    withG.select(keep ++ headerCols: _*)
   }
 
   /** F1+F2 prep: mask Content with the rex list, keep both raw and masked forms. */
@@ -112,39 +116,37 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
 
   // ---- MINE ----------------------------------------------------------------
 
-  private def tokLines(masked: DataFrame): Dataset[TokLine] = {
-    val spark = masked.sparkSession
-    import spark.implicits._
-    masked.filter(col("parsed"))
-      .select(col("url"), col("line_no"), col("masked"))
-      .as[(String, Int, String)]
-      .map { case (url, no, m) =>
-        val t = RexCompiler.tokenize(m)
-        TokLine(t.length, url, no, t)
-      }
-  }
-
   /** Deterministic distributed Drain mine (see class doc). Per-length groups are
     * hash-partitioned; within a partition, lines are sorted (len, url, line_no) so
     * each group is a contiguous, canonically-ordered run — the per-group result is
     * bit-identical to a sequential mine at ANY partition count.
+    *
+    * Shuffle shape: only (len, url, line_no, masked) crosses the wire — the token
+    * ARRAY is rebuilt post-shuffle (re-tokenizing is cheaper than serializing
+    * arrays), and the length key is computed with the exact same tokenizer so rows
+    * can never land in the wrong group.
     */
   def mineDrain(masked: DataFrame): DrainTree = {
     val spark = masked.sparkSession
     import spark.implicits._
     val cfgL = cfg
-    val partials: Array[(Int, Array[Byte])] = tokLines(masked)
+    val partials: Array[(Int, Array[Byte])] = masked.filter(col("parsed"))
+      .select(col("url"), col("line_no"), col("masked"))
+      .as[(String, Int, String)]
+      .map { case (url, no, m) => (RexCompiler.tokenize(m).length, url, no, m) }
+      .toDF("len", "url", "line_no", "masked")
       .repartition(col("len"))
       .sortWithinPartitions("len", "url", "line_no")
+      .as[(Int, String, Int, String)]
       .mapPartitions { it =>
         val trees = mutable.HashMap[Int, DrainTree]()
         val mined = mutable.HashMap[Int, Int]()
-        it.foreach { t =>
-          val n = mined.getOrElse(t.len, 0)
+        it.foreach { case (len, _, _, m) =>
+          val n = mined.getOrElse(len, 0)
           if (cfgL.mineSampleLimit.forall(n < _)) {
-            trees.getOrElseUpdate(t.len,
-              new DrainTree(cfgL.depth, cfgL.st, cfgL.maxChild)).add(t.tokens)
-            mined(t.len) = n + 1
+            trees.getOrElseUpdate(len,
+              new DrainTree(cfgL.depth, cfgL.st, cfgL.maxChild)).add(RexCompiler.tokenize(m))
+            mined(len) = n + 1
           }
         }
         trees.iterator.map { case (len, tree) => (len, serialize(tree)) }
@@ -219,13 +221,18 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
     */
   def saltCol: Column = pmod(xxhash64(col("url"), col("line_no")), lit(cfg.saltBuckets))
 
-  /** Fan-out: repartition by (event_id, salt) — a hot template's rows spread across
-    * salt buckets instead of hitting one reducer — then write per-template-cluster
+  /** Fan-out: RANGE-repartition by (event_id, salt), then write per-template-cluster
     * sinks via `partitionBy("event_id")` on the snapshot table (one partition dir per
     * template cluster = one logical sink).
+    *
+    * Range (not hash) partitioning is deliberate: each writer task holds a contiguous
+    * (event_id, salt) slice, so it touches 1–2 sink dirs instead of all of them —
+    * file count stays O(tasks), not O(tasks × sinks), which keeps the commit cheap
+    * and the sink readable at 1000 executors. The salt still splits a hot template's
+    * rows across adjacent tasks (explicit skew handling, north_rule).
     */
   def routedWrite(enriched: DataFrame, routedTable: String, tag: String): Long = {
-    val salted = enriched.repartition(col("event_id"), saltCol)
+    val salted = enriched.repartitionByRange(col("event_id"), saltCol)
     ParquetManifestTable.appendTagged(
       salted.drop("masked", "parsed"), routedTable, tag, partitionBy = Seq("event_id"))
   }
@@ -254,13 +261,21 @@ object LogPipeline {
     try ois.readObject().asInstanceOf[T] finally ois.close()
   }
 
-  /** End-to-end single-pass run: pages → assigned lines (+catalog), no sinks.
-    * The building block for queries, bench, and the resumable runner.
+  /** End-to-end run: pages → assigned lines (+catalog), no sinks. The building block
+    * for queries, bench, and the resumable runner.
+    *
+    * The structured+masked intermediate is consumed three times (mine, residue,
+    * match), so it is persisted (memory, spill to disk) — the cluster-scale
+    * equivalent is materializing the structured-lines table once and scanning the
+    * columnar intermediate, instead of re-running explode+regex per phase. Caller
+    * owns unpersist (dropping the returned DataFrame releases it with the session).
     */
   def assignAll(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig)
       : (MatchCatalog, DataFrame) = {
     val p = new LogPipeline(cfg)
-    val masked = p.withMasked(p.structure(p.explodeLines(pages)))
+    val maskedRaw = p.withMasked(p.structure(p.explodeLines(pages)))
+    val masked = if (sys.env.contains("GRAFT_NO_PERSIST")) maskedRaw
+      else maskedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val drain = p.mineDrain(masked)
     val spell = p.mineSpellResidue(masked, drain)
     val catalog = new MatchCatalog(drain, spell)

@@ -66,6 +66,77 @@ object Ann {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) index ---------------------------------------------
+
+  /** A fitted IVF index: k centroids + the input with a `bucket` column. At cluster
+    * scale the bucketed table is written partitioned/clustered by `bucket`, so a
+    * probe reads only nProbe partitions of the corpus.
+    */
+  final case class IvfIndex(centroids: Array[Array[Float]], bucketed: DataFrame)
+
+  private def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def nearestCentroid(cs: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      val d = sqDist(cs(c), v)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Fit an IVF index with deterministic k-means: seeds = the k rows with smallest
+    * xxhash64(id) (a deterministic sample), then `iters` Lloyd rounds. Assignment is
+    * a broadcast-centroid map (k×dim floats); the centroid update is one
+    * posexplode + groupBy per round — both scale-out shapes.
+    */
+  def ivfFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int = 3): IvfIndex = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var centroids: Array[Array[Float]] = base
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy("h").limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Float](0).toArray)
+
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assign = udf { (v: Seq[Float]) => nearestCentroid(bc.value, v.toArray) }
+      val assigned = base.withColumn("bucket", assign(col("v")))
+      val updated = assigned
+        .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("bucket", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      updated.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next
+    }
+    val bcF = spark.sparkContext.broadcast(centroids)
+    val assignF = udf { (v: Seq[Float]) => nearestCentroid(bcF.value, v.toArray) }
+    IvfIndex(centroids, base.withColumn("bucket", assignF(col("v"))))
+  }
+
+  /** IVF probe: score only the `nProbe` buckets nearest to the query. */
+  def ivfTopK(index: IvfIndex, query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
+    val q = query.toArray
+    val probes = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => sqDist(c, q) }
+      .take(nProbe).map(_._2)
+    index.bucketed
+      .filter(col("bucket").isin(probes.toSeq: _*))
+      .select(col("id"), cosine(col("v"), typedlit(query)).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+
   /** All-pairs top-k join (each left row gets its k nearest right rows) via bucketed
     * candidates + window rank — the batch-ANN shape used for corpus-vs-corpus linking.
     */

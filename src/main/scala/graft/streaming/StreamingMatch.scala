@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.pipeline.{LogPipeline, MatchCatalog, PipelineConfig}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Running per-template state for the stateful stream. */
+final case class TemplateState(event_id: String, total: Long, last_url: String)
+final case class TemplateUpdate(event_id: String, total: Long)
+
+/** Structured Streaming front-end for the parse pipeline (SURVEY §2.7).
+  *
+  * The reference is batch, but Drain/Spell are online by design; the Spark-native
+  * streaming shape is: mine the catalog in batch (bounded history), freeze +
+  * broadcast it, then run the pure match phase on an unbounded stream —
+  * `readStream → structure/mask/match → watermarked windowed aggregation`.
+  * Matching is stateless (the catalog is frozen), so the only streaming state is the
+  * aggregation's — exactly what Spark's incremental execution handles. Templates
+  * drifting outside the catalog surface as `matched_by = self` rows, the signal to
+  * re-mine (catalog refresh = broadcast swap between micro-batches at the ops layer).
+  */
+object StreamingMatch {
+
+  /** Streaming source over a web_pages parquet directory (files appearing over time
+    * = micro-batches; on a cluster this would be the table's snapshot stream).
+    */
+  def readPages(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(dir)
+
+  /** The streaming match plan: same explode/structure/mask/match columns as batch
+    * (pure transformations stream untouched), carrying `warc_ts` for windowing.
+    */
+  def matchedStream(pages: DataFrame, cfg: PipelineConfig,
+                    catalog: Broadcast[MatchCatalog]): DataFrame = {
+    val p = new LogPipeline(cfg)
+    val lines = pages.select(col("url"), col("warc_ts"),
+      posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+    val masked = p.withMasked(p.structure(lines))
+    val matcher = udf { (m: String) => catalog.value.matchLine(m) }
+    masked.filter(col("parsed"))
+      .withColumn("m", matcher(col("masked")))
+      .withColumn("event_template", col("m._1"))
+      .withColumn("matched_by", col("m._2"))
+      .drop("m")
+      .withColumn("event_id", substring(md5(col("event_template")), 1, 8))
+  }
+
+  /** Watermarked per-window template counts — the streaming A1/S5 aggregate sink. */
+  def windowedCounts(matched: DataFrame, window_ : String = "1 minute",
+                     watermark: String = "2 minutes"): DataFrame =
+    matched
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), window_), col("event_id"))
+      .agg(count(lit(1)).as("occurrences"))
+      .select(col("window.start").as("win_start"), col("event_id"), col("occurrences"))
+
+  /** Custom streaming state via mapGroupsWithState: running total per template
+    * (the streaming analog of the templates table, updated incrementally).
+    */
+  def runningTotals(matched: DataFrame): Dataset[TemplateUpdate] = {
+    val spark = matched.sparkSession
+    import spark.implicits._
+    matched.select(col("event_id"), col("url")).as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[TemplateState]) =>
+          var s = state.getOption.getOrElse(TemplateState(key, 0L, ""))
+          rows.foreach { case (_, url) => s = s.copy(total = s.total + 1, last_url = url) }
+          state.update(s)
+          TemplateUpdate(key, s.total)
+      }
+  }
+
+  /** Drive a matched stream into an in-memory table synchronously (test/demo). */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

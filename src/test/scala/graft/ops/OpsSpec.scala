@@ -109,6 +109,26 @@ class OpsSpec extends SparkSuite {
     assert((brute intersect lsh).size >= 2, s"brute=$brute lsh=$lsh")
   }
 
+  test("ann: IVF top-k recalls most of brute-force top-k; probe scans only buckets") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val brute = Ann.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .select("id").as[Long].collect().toSet
+    val idx = Ann.ivfFit(e, "vec_id", "embedding", k = 8, iters = 2)
+    // index is deterministic: refit gives identical buckets
+    val idx2 = Ann.ivfFit(e, "vec_id", "embedding", k = 8, iters = 2)
+    assert(idx.bucketed.select("id", "bucket").exceptAll(
+      idx2.bucketed.select("id", "bucket")).count() == 0)
+    val ivf = Ann.ivfTopK(idx, q, 10, nProbe = 4)
+      .select("id").as[Long].collect().toSet
+    assert(ivf.contains(3L))
+    assert((brute intersect ivf).size >= 5, s"brute=$brute ivf=$ivf")
+    val bucketSizes = idx.bucketed.groupBy("bucket").count().collect()
+      .map(r => r.getLong(1))
+    assert(bucketSizes.length > 1, "k-means must produce multiple non-empty buckets")
+  }
+
   test("ann: embedding near-dup pairs via hyperplane LSH") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter(col("vec_id") < 50)

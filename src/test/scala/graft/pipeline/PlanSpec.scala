@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import graft.ingest.WebPagesGen
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan audits: the plans must be the ones we'd want at 100 TB, not just
+  * ones that pass — column pruning reaching the scan, predicate pushdown, broadcast
+  * joins where intended, whole-stage codegen in the hot path.
+  */
+class PlanSpec extends SparkSuite {
+
+  private lazy val pagesDir: String = {
+    val dir = Files.createTempDirectory("graft_plan_pages").toString
+    WebPagesGen.pages(spark, 50).toDF().write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("pipeline scan prunes html: ReadSchema carries only url,text") {
+    val p = new LogPipeline(PipelineConfig.hdfs)
+    val pages = spark.read.parquet(pagesDir)
+    val plan = p.withMasked(p.structure(p.explodeLines(pages)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("url") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("html"), s"html must be pruned from the scan:\n$readSchema")
+    assert(!readSchema.contains("warc_ts"), readSchema)
+  }
+
+  test("filter on url pushes down to the parquet scan") {
+    val df = spark.read.parquet(pagesDir).filter(col("url") > "https://d2")
+      .select("url", "lang")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(url), GreaterThan(url"),
+      s"expected pushed filter:\n$plan")
+  }
+
+  test("enrich join is a BroadcastHashJoin, never a shuffle join") {
+    val p = new LogPipeline(PipelineConfig.hdfs)
+    val pages = spark.read.parquet(pagesDir)
+    val (_, assigned) = LogPipeline.assignAll(spark, pages, PipelineConfig.hdfs)
+    val plan = p.enrich(assigned, WebPagesGen.dimDomainLang(spark))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim join must broadcast:\n$plan")
+  }
+
+  test("structuring stays inside whole-stage codegen") {
+    val p = new LogPipeline(PipelineConfig.hdfs)
+    val pages = spark.read.parquet(pagesDir)
+    val df = p.withMasked(p.structure(p.explodeLines(pages)))
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark whole-stage-codegen stages in the plan string; the
+    // structure+mask projection (with our custom expression) must carry one
+    val projLine = plan.linesIterator.find(_.contains("regexp_extract_groups")).get
+    assert(projLine.trim.stripPrefix("+- ").startsWith("*("), plan)
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+
+  test("template counts aggregate has a map-side partial (two HashAggregates)") {
+    val p = new LogPipeline(PipelineConfig.hdfs)
+    val pages = spark.read.parquet(pagesDir)
+    val (_, assigned) = LogPipeline.assignAll(spark, pages, PipelineConfig.hdfs)
+    val plan = p.templateCounts(assigned).queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("f5/q1-style oracle queries push filters and prune columns on testdata") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy("l_returnflag").agg(sum(col("l_quantity").cast("long")).as("q"))
+    val plan = li.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      plan)
+  }
+}

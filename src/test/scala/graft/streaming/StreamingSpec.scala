@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.ingest.WebPagesGen
+import graft.pipeline.{LogPipeline, PipelineConfig}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSuite {
+
+  private val cfg = PipelineConfig.hdfs
+  private val N = 150L
+
+  test("streaming match == batch match; windowed counts and stateful totals work") {
+    // batch-mine the catalog on the same input
+    val pages = WebPagesGen.pages(spark, N).toDF()
+    val (catalog, batchAssigned) = LogPipeline.assignAll(spark, pages, cfg)
+    val bc = spark.sparkContext.broadcast(catalog)
+
+    // materialize input as a streaming source dir (two file batches)
+    val dir = Files.createTempDirectory("graft_stream").toString
+    pages.filter(col("url").endsWith("0") || col("url").endsWith("1"))
+      .write.mode("append").parquet(dir)
+    pages.filter(!(col("url").endsWith("0") || col("url").endsWith("1")))
+      .write.mode("append").parquet(dir)
+
+    val matched = StreamingMatch.matchedStream(
+      StreamingMatch.readPages(spark, dir), cfg, bc)
+
+    // 1. append-mode row stream: event assignment identical to batch
+    StreamingMatch.runToMemory(
+      matched.select("url", "line_no", "event_id"), "rows_out", OutputMode.Append())
+    val streamRows = spark.table("rows_out")
+    val batchRows = batchAssigned.select("url", "line_no", "event_id")
+    assert(streamRows.count() == batchRows.count())
+    assert(streamRows.exceptAll(batchRows).count() == 0)
+    assert(batchRows.exceptAll(streamRows).count() == 0)
+
+    // 2. watermarked windowed aggregate (complete mode for the memory sink)
+    StreamingMatch.runToMemory(
+      StreamingMatch.windowedCounts(matched), "win_out", OutputMode.Complete())
+    val winTotal = spark.table("win_out").agg(sum("occurrences")).collect()(0).getLong(0)
+    assert(winTotal == batchRows.count())
+
+    // 3. mapGroupsWithState running totals equal batch per-template counts
+    StreamingMatch.runToMemory(
+      StreamingMatch.runningTotals(matched).toDF(), "state_out", OutputMode.Update())
+    val totals = spark.table("state_out")
+      .groupBy("event_id").agg(max("total").as("total"))
+    val batchCounts = batchAssigned.groupBy("event_id")
+      .agg(count(lit(1)).as("total"))
+    assert(totals.exceptAll(batchCounts).count() == 0)
+    assert(batchCounts.exceptAll(totals).count() == 0)
+  }
+}
