@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import graft.ingest.WebPagesGen
+import org.apache.spark.sql.functions._
+
+/** The scale-path knob: `mineSampleLimit` bounds lines mined per length group
+  * (at 10^12 docs nobody full-mines). Lines whose (length, first-token) prefix never
+  * entered the sampled tree become residue → Spell fallback → self-template last.
+  * This is also the only path that exercises Spell inside the full pipeline on
+  * well-behaved data.
+  */
+class SampledMineSpec extends SparkSuite {
+
+  test("sampled mine: full coverage via drain+spell+self, counts conserved") {
+    val cfg = PipelineConfig.hdfs.copy(mineSampleLimit = Some(20))
+    val pages = WebPagesGen.pages(spark, 150L).toDF()
+    val (_, assigned) = LogPipeline.assignAll(spark, pages, cfg)
+
+    val byPath = assigned.groupBy("matched_by").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    info(s"matched_by: $byPath")
+    val p = new LogPipeline(cfg)
+    val totalLines = p.withMasked(p.structure(p.explodeLines(pages)))
+      .filter(col("parsed")).count()
+    assert(byPath.values.sum == totalLines) // every line routed exactly once
+    assert(byPath.getOrElse("drain", 0L) > 0)
+    // 20 lines/group is a tight cap → some residue must exist and Spell must mine it
+    assert(byPath.getOrElse("spell", 0L) + byPath.getOrElse("self", 0L) > 0,
+      s"expected residue under tight sampling: $byPath")
+    assert(assigned.filter(col("event_id").isNull || col("event_template").isNull)
+      .count() == 0)
+  }
+
+  test("sampled mine is deterministic across partitionings") {
+    val cfg = PipelineConfig.hdfs.copy(mineSampleLimit = Some(20))
+    val pages = WebPagesGen.pages(spark, 150L).toDF()
+    val (_, a1) = LogPipeline.assignAll(spark, pages, cfg)
+    val (_, a2) = LogPipeline.assignAll(spark, pages.repartition(7), cfg)
+    val k1 = a1.select("url", "line_no", "event_id")
+    val k2 = a2.select("url", "line_no", "event_id")
+    assert(k1.exceptAll(k2).count() == 0 && k2.exceptAll(k1).count() == 0)
+  }
+}
