@@ -320,7 +320,11 @@ object SparkEntry {
     "agg_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(count_distinct(col("l_orderkey")).as("n_orders"),
-          count_distinct(col("l_partkey")).as("n_parts")))
+          count_distinct(col("l_partkey")).as("n_parts"))),
+    "agg_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty")))
   )
 
   // ---- oracles ---------------------------------------------------------------
@@ -424,6 +428,10 @@ object SparkEntry {
         "SELECT DISTINCT p_partkey AS l_partkey FROM part WHERE p_size > 40"),
     "agg_distinct" ->
       ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, " +
-        "count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_returnflag")
+        "count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_returnflag"),
+    "agg_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)")
   )
 }

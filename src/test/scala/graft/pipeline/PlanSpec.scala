@@ -67,6 +67,22 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("minhash LSH dedup is a band equi-join, never a cartesian product") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.dedup.Dedup.minhashDupPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("band"), plan) // join keyed on the LSH band columns
+  }
+
+  test("approx_count_distinct (the 10^12-scale metrics stat) lands within 10% of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val r = li.agg(count_distinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey")).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.10, s"$approx vs $exact")
+  }
+
   test("f5/q1-style oracle queries push filters and prune columns on testdata") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .filter(col("l_shipdate") <= lit("1998-09-01"))
