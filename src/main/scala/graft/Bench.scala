@@ -55,7 +55,10 @@ object Bench {
     spark.catalog.clearCache()
     val t0 = System.nanoTime()
     val pages = spark.read.parquet(pagesPath)
-    val (_, assigned) = LogPipeline.assignAll(spark, pages, cfg)
+    val (_, assignedRaw) = LogPipeline.assignAll(spark, pages, cfg)
+    // match output feeds BOTH sinks — materialize it once instead of running the
+    // match UDF + param extraction twice
+    val assigned = assignedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val enriched = p.enrich(assigned, WebPagesGen.dimDomainLang(spark))
     enriched.repartitionByRange(col("event_id"), p.saltCol)
       .drop("masked", "parsed")

@@ -206,6 +206,19 @@ object SparkEntry {
         planes = 12, threshold = 0.99).select(col("id_a"), col("id_b"))
     }),
 
+    "td_pipeline" -> ((s, dir) => {
+      // the training-data pipeline composed end-to-end: quality gate → exact dedup
+      // → per-language doc/token budget (all stages individually oracled)
+      val scored = t(s, dir, "documents")
+        .withColumn("q", TextOps.qualityScoreMilli(col("text")))
+        .withColumn("pred_lang", TextOps.langId(col("text")))
+        .filter(col("q") >= 30000)
+      Dedup.exactDedup(scored, "doc_id", "text")
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    }),
+
     // ---------- similarity search --------------------------------------------
     "ann_brute_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -329,7 +342,38 @@ object SparkEntry {
 
   // ---- oracles ---------------------------------------------------------------
 
+  // shared fragments for the composite pipeline oracle (each already validated by
+  // its own query's oracle: t_quality, t_langid, t_token_count, d_exact_dedup)
+  private val qualityExpr =
+    "GREATEST(0, LEAST(100000, " +
+      "CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 40000 " +
+      "WHEN length(text) >= 50 THEN 20000 ELSE 0 END " +
+      "+ CAST(floor((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 60000 / GREATEST(length(text), 1)) AS BIGINT) " +
+      "- CAST(floor(((length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g'))) " +
+      "+ (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))) * 30000 / GREATEST(length(text), 1)) AS BIGINT)))"
+
+  private val langIdSubquery =
+    "SELECT doc_id, CASE WHEN best = 0 THEN 'und' WHEN s1 = best THEN 'en' " +
+      "WHEN s2 = best THEN 'es' WHEN s3 = best THEN 'de' WHEN s4 = best THEN 'fr' " +
+      "ELSE 'zh' END AS pred_lang FROM (SELECT doc_id, s1, s2, s3, s4, s5, " +
+      "GREATEST(s1, s2, s3, s4, s5) AS best FROM (SELECT doc_id, " +
+      "len(list_filter(toks, x -> list_contains(['the','and','of','is','that','with','for'], x))) AS s1, " +
+      "len(list_filter(toks, x -> list_contains(['el','la','de','que','los','una','por'], x))) AS s2, " +
+      "len(list_filter(toks, x -> list_contains(['der','die','und','das','nicht','ein','mit'], x))) AS s3, " +
+      "len(list_filter(toks, x -> list_contains(['le','les','des','est','une','dans','pour'], x))) AS s4, " +
+      "len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有'], x))) AS s5 " +
+      "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)))"
+
   def oracleSql: Map[String, String] = Map(
+    "td_pipeline" ->
+      (s"WITH scored AS (SELECT d.doc_id, d.text, $qualityExpr AS q, l.pred_lang " +
+        s"FROM documents d JOIN ($langIdSubquery) l ON d.doc_id = l.doc_id), " +
+        "filtered AS (SELECT * FROM scored WHERE q >= 30000), " +
+        "kept AS (SELECT * FROM filtered WHERE doc_id IN " +
+        "(SELECT min(doc_id) FROM filtered GROUP BY md5(text))) " +
+        "SELECT pred_lang, count(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens " +
+        "FROM kept GROUP BY pred_lang"),
     "s2_structure" ->
       ("SELECT doc_id, regexp_extract(line, p, 1) AS Tag, regexp_extract(line, p, 2) AS Lang, " +
         "regexp_extract(line, p, 3) AS Src, regexp_extract(line, p, 4) AS Rest FROM (" +
