@@ -104,7 +104,6 @@ object Bench {
     // the warm-up state symmetric instead of gifting it to whichever level runs
     // last. min-of-reps estimates true job cost under this host's ±30–50% noise.)
     pipelineRun(spark, pagesPath, s"$work/out_warm")
-    pipelineRun(spark, pagesPath, s"$work/out_warm")
     spark = session(nLow)
     pipelineRun(spark, pagesPath, s"$work/out_warm_n")
     val runsN = scala.collection.mutable.ArrayBuffer[Double]()
