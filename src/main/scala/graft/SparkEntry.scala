@@ -104,6 +104,39 @@ object SparkEntry {
         .toDF("precision", "recall", "f1", "parsing_accuracy", "total")
     }),
 
+    "log_pa_by_style" -> ((s, dir) => {
+      // PA-threshold harness: every style's Parsing Accuracy must clear its pinned
+      // floor (the engine-side analog of the reference benchmark's per-dataset
+      // accuracy table, BASELINE.md §1) — a regression FAILS the query instead of
+      // silently shipping a lower score. Floors mirror MultiStyleSpec's bars.
+      import s.implicits._
+      val n = 150L
+      val floors = Map("hdfs" -> 0.95, "apache" -> 0.8, "proxifier" -> 0.5,
+        "spark" -> 0.8, "zookeeper" -> 0.8, "openssh" -> 0.8, "healthapp" -> 0.7,
+        "windows" -> 0.8)
+      def score(asg: DataFrame, gt: DataFrame): Evaluator.Scores =
+        Evaluator.evaluate(asg.select("url", "line_no", "event_id")
+          .join(gt, Seq("url", "line_no")).withColumnRenamed("gt_tpl", "gt_id"))
+      val hdfs = {
+        val (_, asg) = LogPipeline.assignAll(s, WebPagesGen.pages(s, n).toDF(),
+          PipelineConfig.hdfs)
+        ("hdfs", score(asg, WebPagesGen.groundTruth(s, n).toDF()))
+      }
+      val styled = graft.ingest.LogStyles.all.map { spec =>
+        val cfg = PipelineConfig(spec.style.logFormat, spec.style.rexes,
+          st = spec.style.st, depth = spec.style.depth)
+        val (_, asg) = LogPipeline.assignAll(s, graft.ingest.LogStyles.pagesFor(s, spec, n).toDF(), cfg)
+        (spec.style.name, score(asg, graft.ingest.LogStyles.groundTruthFor(s, spec, n).toDF()))
+      }
+      val rows = hdfs +: styled
+      rows.foreach { case (name, sc) =>
+        require(sc.parsingAccuracy >= floors(name),
+          f"PA floor violated for style $name: ${sc.parsingAccuracy}%.4f < ${floors(name)}%.2f")
+      }
+      rows.map { case (name, sc) => (name, sc.parsingAccuracy, floors(name), sc.total) }
+        .toDF("style", "parsing_accuracy", "floor", "n_lines")
+    }),
+
     "log_spell_templates" -> ((s, dir) => {
       // Spell as the PRIMARY miner (reference ships it as a full parser): sequential
       // deterministic mine over a bounded canonical prefix, like its online design.
@@ -221,9 +254,13 @@ object SparkEntry {
 
     // ---------- similarity search --------------------------------------------
     "ann_brute_topk" -> ((s, dir) => {
+      // embeddings cast to double BEFORE scoring: the DuckDB oracle computes in
+      // float64, and a float32 multiply disagrees in ulps right at round()'s
+      // half-way points — double-in, double-out is bit-reproducible on both sides
       val e = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
       val q = e.filter(col("vec_id") === 0).select("embedding")
-        .collect()(0).getSeq[Float](0)
+        .collect()(0).getSeq[Double](0)
       Ann.bruteForceTopK(e, "vec_id", "embedding", q, 10)
         .select(col("id"), round(col("score"), 4).as("score4"))
     }),
@@ -250,8 +287,15 @@ object SparkEntry {
 
     // ---------- multimodal plumbing ------------------------------------------
     "mm_features" -> ((s, dir) => {
-      val pages = WebPagesGen.pages(s, 500).toDF()
-      Multimodal.featureTable(s, pages)
+      // binary media column synthesized from the documents table (html-wrapped
+      // UTF-8 bytes) so the decode plumbing — batched mapPartitions over a true
+      // BinaryType column — has a DuckDB oracle; the metadata features (byte_len,
+      // content_hash, fake dims) are pure functions of the bytes
+      val media = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("url"),
+        encode(concat(lit("<html><body>"), col("text"), lit("</body></html>")), "UTF-8")
+          .as("html"))
+      Multimodal.featureTable(s, media)
         .select("url", "kind", "byte_len", "content_hash", "width", "height")
     }),
 
@@ -419,6 +463,49 @@ object SparkEntry {
         "len(list_filter(toks, x -> list_contains(['le','les','des','est','une','dans','pour'], x))) AS s4, " +
         "len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有'], x))) AS s5 " +
         "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents))) "),
+    "t_subword_count" ->
+      // lookaround-free equivalent of the Spark split: insert spaces at punct and
+      // camelCase boundaries, then split on whitespace (RE2 has no lookbehind) —
+      // validated piece-equal against the Java-regex split on the real tables
+      ("SELECT doc_id, CAST(len(list_filter(string_split_regex(s2, '\\s+'), x -> x != '')) AS BIGINT) AS n_subwords " +
+        "FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '([^A-Za-z0-9\\s])', ' \\1 ', 'g'), " +
+        "'([a-z])([A-Z])', '\\1 \\2', 'g') AS s2 FROM documents)"),
+    "t_rolling_fp" ->
+      // the wrapping-64-bit FNV chain emulated in HUGEINT: mod-2^64 after every
+      // multiply/add, xor applied on the low 16 bits (char codes < 2^16), final
+      // value mapped back to signed BIGINT
+      ("WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents), " +
+        "th AS (SELECT doc_id, list_transform(ts, t -> list_reduce(" +
+        "list_prepend(14695981039346656037::HUGEINT, " +
+        "list_transform(list_filter(regexp_split_to_array(t, ''), x -> x != ''), c -> unicode(c)::HUGEINT)), " +
+        "(acc, c) -> ((acc - (acc % 65536) + xor((acc % 65536)::BIGINT, c::BIGINT)::HUGEINT) " +
+        "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hs FROM toks) " +
+        "SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT " +
+        "THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS rfp " +
+        "FROM (SELECT doc_id, list_reduce(list_prepend(1469598103934665603::HUGEINT, hs), " +
+        "(acc, t) -> (acc * 1099511628211::HUGEINT + t) % 18446744073709551616::HUGEINT) AS u FROM th)"),
+    "d_jaccard_pairs" ->
+      ("WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100 " +
+        "UNION ALL SELECT doc_id + 100000, text || ' zzappended' FROM documents " +
+        "WHERE doc_id < 100 AND doc_id % 2 = 0), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+        "ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')) END) AS s " +
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM docs)) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
+        "AND len(list_intersect(a.s, b.s))::DOUBLE / GREATEST(len(list_distinct(a.s || b.s)), 1) >= 0.5"),
+    "ann_brute_topk" ->
+      ("WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id AS id, round(score, 4) AS score4 FROM (" +
+        "SELECT e.vec_id, list_dot_product(e.embedding::DOUBLE[], q.qv) / " +
+        "GREATEST(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(q.qv, q.qv)), 1e-12) AS score FROM embeddings e, q) " +
+        "ORDER BY score DESC, vec_id LIMIT 10"),
+    "mm_features" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS url, 'html' AS kind, " +
+        "CAST(octet_length(encode(b)) AS BIGINT) AS byte_len, md5(b) AS content_hash, " +
+        "CAST(16 + octet_length(encode(b)) % 1024 AS INTEGER) AS width, " +
+        "CAST(16 + octet_length(encode(b)) % 768 AS INTEGER) AS height " +
+        "FROM (SELECT doc_id, '<html><body>' || text || '</body></html>' AS b FROM documents)"),
     "d_exact_groups" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM " +
         "(SELECT doc_id, text FROM documents UNION ALL " +

@@ -43,13 +43,22 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the min over
-    * shingle hashes. Pure column expression; one pass over the shingle array per
-    * hash function.
+  /** Base hashes: each shingle STRING is hashed exactly once. The per-function
+    * MinHash values are then derived from these 8-byte longs ([[minhashSignature]]) —
+    * the classic one-hash-plus-mixing trick. Hashing the variable-length string
+    * `numHashes` times was the round-1 plan's dominant cost (64× more byte-hashing
+    * than needed).
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def shingleBaseHashes(shingles: Column): Column =
+    transform(shingles, s => xxhash64(s))
+
+  /** MinHash signature from pre-hashed shingles: for each of `numHashes` seeded
+    * derived hash functions, the min over `xxhash64(baseHash, seed)` — a fixed-width
+    * long re-hash (cheap, codegen'd), never a re-hash of the shingle bytes.
+    */
+  def minhashSignature(baseHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(1), lit(numHashes)),
-      h => array_min(transform(shingles, s => xxhash64(s, h))))
+      h => array_min(transform(baseHashes, x => xxhash64(x, h))))
 
   /** LSH band keys: hash `rows`-sized runs of the signature; docs sharing any band
     * key are candidates. Output: array of (band, bandHash).
@@ -65,33 +74,72 @@ object Dedup {
       size(a).cast("double")
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
-    * Shuffle shape: explode bands → shuffle on (band, band_hash) → within-bucket
-    * self-join (small buckets) → exact verify. Returns (id_a, id_b, jaccard) with
-    * id_a < id_b.
+    *
+    * Shuffle shape (each stage sized for 10^12 docs):
+    *  1. signature = one string-hash pass + numHashes long-rehash passes (codegen'd);
+    *  2. explode bands → the banded relation carries ONLY (id, band, band_hash) —
+    *     never the shingle arrays (round 1 shuffled ~50 KB of shingles per band row);
+    *  3. band buckets larger than `maxBucketSize` are dropped before the self-join
+    *     (boilerplate-heavy web text creates giant identical-signature buckets whose
+    *     self-join is quadratic; the reference's stance is count+skip — use
+    *     [[oversizeBuckets]] to count/log what was dropped, and run [[exactDedup]]
+    *     first so exact copies never reach LSH);
+    *  4. candidates are `distinct` on (id_a, id_b) alone, THEN the two shingle sets
+    *     are re-joined for the exact-Jaccard verify — two cheap hash joins instead of
+    *     shuffling every array through the candidate distinct.
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
                       numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.7): DataFrame = {
-    val withSig = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles", array_distinct(wordShingles(col("text"), k)))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-    val banded = withSig
-      .select(col("id"), col("shingles"),
-        explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
-      .select(col("id"), col("shingles"), col("bk.band"), col("bk.band_hash"))
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
+                      threshold: Double = 0.7,
+                      maxBucketSize: Int = 10000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Two explicit materialization points — NOT optional: Catalyst's CollapseProject
+    // inlines unpersisted intermediate columns into every downstream branch, so
+    // without them the signature expression (and its string hashing) is re-evaluated
+    // once per branch (bucket-size agg + both join sides + verify ≈ 6×). At cluster
+    // scale these persists are the staged signature / candidate tables a real
+    // pipeline would write between stages.
+    val hashed = df.select(col(idCol).as("id"),
+        array_distinct(wordShingles(col(textCol), k)).as("shingles"))
+      .withColumn("bh", shingleBaseHashes(col("shingles")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = hashed
+      .select(col("id"), explode(lshBandKeys(
+        minhashSignature(col("bh"), numHashes), bands, numHashes / bands)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.band_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val smallBuckets = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select("band", "band_hash")
+    val capped = banded.join(smallBuckets, Seq("band", "band_hash"), "left_semi")
+    val a = capped.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select("id_a", "id_b").distinct()
     cand
+      .join(hashed.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Band buckets [[minhashDupPairs]] would skip at `maxBucketSize` — the count+log
+    * side of the skip contract (callers aggregate/inspect before choosing the cap).
+    */
+  def oversizeBuckets(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+                      numHashes: Int = 64, bands: Int = 16,
+                      maxBucketSize: Int = 10000): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_distinct(wordShingles(col(textCol), k)).as("shingles"))
+      .withColumn("bh", shingleBaseHashes(col("shingles")))
+      .withColumn("sig", minhashSignature(col("bh"), numHashes))
+      .select(explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
 
   /** Exact Jaccard over two shingle-set arrays (arrays must be distinct). */
   def exactJaccard(a: Column, b: Column): Column =
@@ -100,11 +148,16 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard above a threshold — the LSH-free exact variant for
     * modest cardinalities (verification oracle for the LSH path; the LSH path is the
-    * scale path). Broadcast-joins when one side is small; otherwise a full shuffle —
-    * by design, use minhashDupPairs at scale.
+    * scale path). The quadratic contract is ENFORCED: inputs above `maxRows` are
+    * rejected up front (one cheap count) instead of silently launching an
+    * O(n²)-at-10^9-rows cross join — route large inputs through [[minhashDupPairs]].
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5, maxRows: Long = 10000): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"ngramJaccardPairs is all-pairs (O(n²)) by design and capped at maxRows=$maxRows " +
+        s"rows; got $n. Use minhashDupPairs for large inputs.")
     val sh = df.select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), k)).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
@@ -166,12 +219,16 @@ object Dedup {
   // ---- embedding near-dup ----------------------------------------------------
 
   /** Embedding cosine near-dup pairs via random-hyperplane LSH buckets (deterministic
-    * seeded hyperplanes) + exact cosine verify on candidates.
+    * seeded hyperplanes) + exact cosine verify on candidates. `planes = 0` (default)
+    * sizes the bucket count to the corpus via [[graft.sim.Ann.autoPlanes]] — a fixed
+    * plane count leaves ~n²/2^planes within-bucket pairs, which goes quadratic at
+    * 10^12 rows; auto-scaling keeps expected bucket size constant at any n.
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, planes: Int = 16,
+                        dim: Int, planes: Int = 0,
                         threshold: Double = 0.95): DataFrame = {
-    val sig = graft.sim.Ann.hyperplaneSignature(col(vecCol), dim, planes)
+    val p = if (planes > 0) planes else graft.sim.Ann.autoPlanes(df.count())
+    val sig = graft.sim.Ann.hyperplaneSignature(col(vecCol), dim, p)
     val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
     val a = withSig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withSig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))

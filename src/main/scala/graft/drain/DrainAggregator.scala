@@ -13,8 +13,11 @@ final case class TemplateRow(event_id: String, event_template: String, occurrenc
   *    object inside a partial aggregate; serialization happens only at partition
   *    boundaries),
   *  - `merge` re-inserts right-tree clusters into the left tree in canonical
-  *    (length, template) order, so the result is identical regardless of which
-  *    partition finished first,
+  *    (length, template) order. NOTE: this canonicalizes only the right side — the
+  *    left tree's structure is kept intact, so merge is NOT commutative and Spark's
+  *    partial-merge pairing order is not deterministic across runs. The guarantee is
+  *    PA-grade reproducibility (stable grouping quality), not a bit-identical
+  *    template set; for bit-exactness use the default sequential-exact miner,
   *  - `finish` freezes the catalog.
   *
   * Trade-off vs [[graft.pipeline.LogPipeline.mineDrain]] (the default): this never

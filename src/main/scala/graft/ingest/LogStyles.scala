@@ -82,7 +82,93 @@ object LogStyles {
       f"24/01/01 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d $lvl $comp: "
     })
 
-  val all: Seq[StyleSpec] = Seq(Apache, Proxifier, SparkStyle)
+  // ---- Zookeeper-style: bracketed compound header `\[<Node>:<Component>@<Id>\]` —
+  // exercises escaped brackets + multi-literal (`:`/`@`) segments between headers
+  private val zookeeperTemplates = IndexedSeq(
+    "Accepted socket connection from /{iph}",
+    "Closed socket connection for client /{iph}",
+    "Session establishment complete on server {host} timeout {num}",
+    "Expiring session {hex} timeout of {num} ms exceeded",
+    "Processed session termination for sessionid {hex}",
+    "Received connection request /{iph}",
+    "Committing global session {hex}")
+
+  val Zookeeper: StyleSpec = StyleSpec(
+    LogStyle("zookeeper",
+      "<Date> <Time> - <Level>  \\[<Node>:<Component>@<Id>\\] - <Content>",
+      Seq("(/|)(\\d+\\.){3}\\d+(:\\d+)?"), st = 0.5, depth = 4),
+    zookeeperTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 29 + lineNo) % 86400
+      val lvl = IndexedSeq("INFO", "WARN")(pick(mix(h, 35), 2))
+      val node = s"worker-${pick(mix(h, 36), 5)}"
+      val comp = IndexedSeq("NIOServerCnxn", "QuorumPeer", "SessionTrackerImpl")(pick(mix(h, 37), 3))
+      f"2024-01-01 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d - $lvl  [$node:$comp@${100 + pick(mix(h, 38), 900)}] - "
+    })
+
+  // ---- OpenSSH-style: literal token between headers (`sshd\[<Pid>\]:`) --------
+  private val opensshTemplates = IndexedSeq(
+    "Failed password for invalid user {usr} from {iph} port {num} ssh2",
+    "Accepted publickey for {usr} from {iph} port {num}",
+    "Connection closed by {iph} preauth",
+    "pam unix session opened for user {usr} by uid {num}",
+    "Received disconnect from {iph} port {num}",
+    "Invalid user {usr} from {iph}",
+    "error maximum authentication attempts exceeded for {usr} from {iph}")
+
+  val OpenSsh: StyleSpec = StyleSpec(
+    LogStyle("openssh", "<Date> <Day> <Time> <Component> sshd\\[<Pid>\\]: <Content>",
+      Seq("(\\d+\\.){3}\\d+", "([\\w-]+\\.){2,}[\\w-]+"), st = 0.6, depth = 5),
+    opensshTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 31 + lineNo) % 86400
+      val host = s"bastion${pick(mix(h, 39), 4)}"
+      f"Jan 01 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d $host sshd[${1000 + pick(mix(h, 40), 9000)}]: "
+    })
+
+  // ---- HealthApp-style: pipe-separated headers (`<Time>\|<Component>\|<Pid>\|`) —
+  // exercises escaped non-space literal separators with NO whitespace between groups
+  private val healthappTemplates = IndexedSeq(
+    "calculateCaloriesWithCache totalCalories={num}",
+    "onStandStepChanged {num}",
+    "REPORT steps {num} calories {num} distance {num}",
+    "getTodayTotalDetailSteps = {num}",
+    "processHandleBroadcastAction action {num}",
+    "flush sensor data to db",
+    "upload steps {num} synced ok")
+
+  val HealthApp: StyleSpec = StyleSpec(
+    LogStyle("healthapp", "<Time>\\|<Component>\\|<Pid>\\|<Content>",
+      Seq("\\d+\\.\\d+"), st = 0.2, depth = 4),
+    healthappTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 37 + lineNo) % 86400
+      val comp = IndexedSeq("Step_LSC", "Step_StandReportReceiver", "Step_SPUtils")(pick(mix(h, 41), 3))
+      f"20240101-${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d|$comp|${pick(mix(h, 42), 30000)}|"
+    })
+
+  // ---- Windows-CBS-style: comma literal + LONG space runs between headers -----
+  private val windowsTemplates = IndexedSeq(
+    "Loading package manifest update-{num}",
+    "Package update-{num} applicable state {num}",
+    "Session 0x{hex} initialized by client agent",
+    "Starting trusted installer initialization",
+    "Ending trusted installer initialization",
+    "Store corruption detected in package update-{num}",
+    "Read out cached package applicability for package update-{num}")
+
+  val Windows: StyleSpec = StyleSpec(
+    LogStyle("windows", "<Date> <Time>, <Level>                  <Component>    <Content>",
+      Seq("0x[0-9a-f]+"), st = 0.7, depth = 5),
+    windowsTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 41 + lineNo) % 86400
+      val lvl = IndexedSeq("Info", "Info", "Error")(pick(mix(h, 43), 3))
+      f"2024-01-01 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d, $lvl                  CBS    "
+    })
+
+  val all: Seq[StyleSpec] =
+    Seq(Apache, Proxifier, SparkStyle, Zookeeper, OpenSsh, HealthApp, Windows)
 
   /** Render the content slots for non-HDFS styles. */
   def fillSlots(tpl: String, h0: Long): String = {
@@ -103,6 +189,7 @@ object LogStyles {
           case "host" => s"srv-${pick(mix(h, 4), 40)}.example.com:${440 + pick(mix(h, 5), 60)}"
           case "dur"  => f"${pick(mix(h, 6), 24)}%02d:${pick(mix(h, 7), 60)}%02d"
           case "unit" => IndexedSeq("KB", "MB", "GB")(pick(mix(h, 8), 3))
+          case "usr"  => "user" + pick(mix(h, 9), 200)
         })
         i = end + 1
       } else { sb.append(c); i += 1 }

@@ -130,10 +130,33 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
     val spark = masked.sparkSession
     import spark.implicits._
     val cfgL = cfg
-    val partials: Array[(Int, Array[Byte])] = masked.filter(col("parsed"))
+    val keyed = masked.filter(col("parsed"))
       .select(col("url"), col("line_no"), col("masked"))
       .as[(String, Int, String)]
       .map { case (url, no, m) => (RexCompiler.tokenize(m).length, url, no, m) }
+    // mineSampleLimit is enforced BEFORE the exchange: each map partition keeps only
+    // its `limit` canonically-smallest (url, line_no) rows per length group, so the
+    // shuffle moves O(limit × partitions) rows instead of the full corpus. The global
+    // first-`limit` rows per group always survive a per-partition cap (superset
+    // property), and the post-shuffle sort + counter re-applies the exact cap — the
+    // mined tree is bit-identical to capping after a full shuffle (round 1 shuffled
+    // EVERY parsed line into ≤#distinct-lengths reducers — the plan's scale-killer).
+    val bounded = cfgL.mineSampleLimit match {
+      case Some(limit) => keyed.mapPartitions { it =>
+        val ord = Ordering.Tuple2(Ordering.String, Ordering.Int)
+        val heaps = mutable.HashMap[Int, mutable.PriorityQueue[(String, Int, String)]]()
+        it.foreach { case (len, url, no, m) =>
+          val q = heaps.getOrElseUpdate(len,
+            mutable.PriorityQueue.empty(Ordering.by[(String, Int, String), (String, Int)](
+              r => (r._1, r._2))(ord))) // max-heap: evicts the LARGEST key
+          q.enqueue((url, no, m))
+          if (q.size > limit) q.dequeue()
+        }
+        heaps.iterator.flatMap { case (len, q) => q.iterator.map { case (u, n, m) => (len, u, n, m) } }
+      }
+      case None => keyed
+    }
+    val partials: Array[(Int, Array[Byte])] = bounded
       .toDF("len", "url", "line_no", "masked")
       .repartition(col("len"))
       .sortWithinPartitions("len", "url", "line_no")

@@ -60,13 +60,34 @@ object ResumableRunner {
     }
   }
 
+  /** Input slices: pages materialized ONCE, hive-partitioned by chunk id, so a
+    * (re)run of chunk k READS only `chunk=k/` (partition pruning) instead of
+    * filtering the full input per chunk — round 1 scanned the whole corpus nChunks
+    * times. At cluster scale this dir layout is the Iceberg partition spec.
+    */
+  def chunkedInputDir(outDir: String) = s"$outDir/input_by_chunk"
+
+  private def materializeChunkedInput(spark: SparkSession, nPages: Long,
+                                      outDir: String, nChunks: Int): String = {
+    val dir = chunkedInputDir(outDir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+      WebPagesGen.pages(spark, nPages).toDF()
+        .withColumn("chunk", pmod(xxhash64(col("url")), lit(nChunks)))
+        .write.mode("overwrite").partitionBy("chunk").parquet(dir)
+    }
+    dir
+  }
+
   def run(spark: SparkSession, cfg: PipelineConfig, nPages: Long, outDir: String,
-          nChunks: Int = 4, failAfterChunk: Option[Int] = None): RunReport = {
+          nChunks: Int = 4, failAfterChunk: Option[Int] = None,
+          failBeforeRoutedCommit: Option[Int] = None): RunReport = {
     val p = new LogPipeline(cfg)
     val pages = WebPagesGen.pages(spark, nPages).toDF()
     val catalog = catalogFor(spark, cfg, pages, outDir)
     val bc = spark.sparkContext.broadcast(catalog)
     val dim = WebPagesGen.dimDomainLang(spark)
+    val inputDir = materializeChunkedInput(spark, nPages, outDir, nChunks)
 
     val routed = routedTable(outDir)
     val done: Set[Int] = ParquetManifestTable.tags(spark, routed)
@@ -74,19 +95,30 @@ object ResumableRunner {
 
     val ran = Seq.newBuilder[Int]
     for (c <- 0 until nChunks if !done.contains(c)) {
-      val chunkPages = pages.filter(pmod(xxhash64(col("url")), lit(nChunks)) === c)
+      // partition-pruned scan: only the chunk=c directory is read
+      val chunkPages = spark.read.parquet(inputDir).filter(col("chunk") === c).drop("chunk")
       val masked = p.withMasked(p.structure(p.explodeLines(chunkPages))).persist()
       try {
         val assigned = p.matchPhase(masked, bc)
         val enriched = p.enrich(assigned, dim)
-        val snapId = p.routedWrite(enriched, routed, s"c$c")
 
-        // lineage: one row per physical output file of this chunk's snapshot
-        val dataDir = ParquetManifestTable.snapshotDataDir(spark, routed, snapId)
-        val lineage = spark.read.parquet(dataDir)
+        // COMMIT ORDER: routed data files are WRITTEN first (staged, invisible), the
+        // control sinks (lineage, metrics) commit next, and the routed manifest swap
+        // — the resume checkpoint marker — commits LAST. Any crash before the routed
+        // commit re-runs the chunk, whose tagged control appends are upserts
+        // (same-tag replace), so "chunk committed ⇒ lineage+metrics present" holds
+        // through every crash window. Round 1 committed routed first: a crash in
+        // between marked the chunk done with its lineage/metrics lost forever.
+        val salted = enriched.repartitionByRange(col("event_id"), p.saltCol)
+          .drop("masked", "parsed")
+        val staged = ParquetManifestTable.stageTagged(salted, routed, s"c$c",
+          partitionBy = Seq("event_id"))
+
+        // lineage: one row per physical output file of this chunk's staged snapshot
+        val lineage = spark.read.parquet(staged.dataPath)
           .groupBy(input_file_name().as("file"))
           .agg(count(lit(1)).as("rows"), min("url").as("min_url"), max("url").as("max_url"))
-          .withColumn("chunk", lit(c)).withColumn("snapshot_id", lit(snapId))
+          .withColumn("chunk", lit(c)).withColumn("snapshot_id", lit(staged.id))
         ParquetManifestTable.appendTagged(lineage, lineageTable(outDir), s"c$c")
 
         // metrics: matched_by histogram + unparsed count
@@ -96,17 +128,22 @@ object ResumableRunner {
           .withColumn("chunk", lit(c))
         ParquetManifestTable.appendTagged(metrics, metricsTable(outDir), s"c$c")
 
+        if (failBeforeRoutedCommit.contains(c)) throw new SimulatedCrash(c)
+        staged.commit()
+
         ran += c
         if (failAfterChunk.contains(c)) throw new SimulatedCrash(c)
       } finally masked.unpersist()
     }
 
-    // final aggregate sink: per-template counts over everything routed so far
+    // final aggregate sink: per-template counts over everything routed so far —
+    // REPLACE semantics (recomputed rollup), so a rerun over a completed outDir
+    // rewrites the same counts instead of appending a double-counting snapshot.
     val all = readRouted(spark, outDir)
     val counts = all.groupBy("event_id", "event_template")
       .agg(count(lit(1)).as("occurrences"))
       .orderBy("event_id", "event_template")
-    ParquetManifestTable.append(counts, templatesTable(outDir))
+    ParquetManifestTable.replace(counts, templatesTable(outDir))
 
     RunReport(ran.result(), done.toSeq.sorted, routed, metricsTable(outDir),
       templatesTable(outDir))

@@ -39,9 +39,13 @@ object Ann {
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column =
     (0 until planes).map(p => planeBit(vec, p) * lit(1L << p)).reduce(_ + _)
 
-  /** Brute-force cosine top-k against a literal query vector — the exactness oracle. */
-  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
-                     query: Seq[Float], k: Int): DataFrame = {
+  /** Brute-force cosine top-k against a literal query vector — the exactness oracle.
+    * Generic in the element type so callers can score in float32 (storage-native) or
+    * float64 (bit-reproducible against a float64 SQL oracle).
+    */
+  def bruteForceTopK[T: scala.reflect.runtime.universe.TypeTag](
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[T], k: Int): DataFrame = {
     val q = typedlit(query)
     df.select(col(idCol).as("id"), cosine(col(vecCol), q).as("score"))
       .orderBy(desc("score"), col("id"))
@@ -137,16 +141,29 @@ object Ann {
       .limit(k)
   }
 
+  /** Bucket width that keeps the within-bucket join linear: enough hyperplanes that
+    * the expected bucket holds ~`targetBucket` rows. Fixed `planes` (round 1's 8 →
+    * 256 buckets) goes quadratic-in-bucket at corpus scale; deriving it from the
+    * corpus size keeps per-bucket work bounded at ANY n (10^12 rows → ~31 planes).
+    * One `count()` of the corpus is the price — trivial next to the join it sizes.
+    */
+  def autoPlanes(n: Long, targetBucket: Int = 512): Int =
+    math.min(30, math.max(4,
+      math.ceil(math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2)).toInt))
+
   /** All-pairs top-k join (each left row gets its k nearest right rows) via bucketed
     * candidates + window rank — the batch-ANN shape used for corpus-vs-corpus linking.
+    * `planes = 0` (default) auto-scales bucket count to the right corpus size via
+    * [[autoPlanes]], so the per-bucket self-join stays bounded at 100 TB.
     */
   def topKJoin(left: DataFrame, right: DataFrame, idL: String, idR: String,
-               vecCol: String, dim: Int, k: Int, planes: Int = 8): DataFrame = {
+               vecCol: String, dim: Int, k: Int, planes: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val p = if (planes > 0) planes else autoPlanes(right.count())
     val l = left.select(col(idL).as("id_l"), col(vecCol).as("v_l"),
-      hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
+      hyperplaneSignature(col(vecCol), dim, p).as("bucket"))
     val r = right.select(col(idR).as("id_r"), col(vecCol).as("v_r"),
-      hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
+      hyperplaneSignature(col(vecCol), dim, p).as("bucket"))
     val w = Window.partitionBy("id_l").orderBy(desc("score"), col("id_r"))
     l.join(r, Seq("bucket"))
       .withColumn("score", cosine(col("v_l"), col("v_r")))

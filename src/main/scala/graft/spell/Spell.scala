@@ -71,7 +71,9 @@ final class SpellModel(val tau: Double = 0.5) extends Serializable {
   }
 
   /** Reference `::PrefixTreeMatch` ≈L107–130 (recursive descent over constant tokens;
-    * accept when the found cluster's constant-token count ≥ half the seq length).
+    * accept when the found cluster's constant-token count ≥ tau·|seq|). A cluster that
+    * fails the threshold does NOT end the scan — the loop continues at the same
+    * parent with the next token, exactly like the reference's for-loop fall-through.
     */
   def prefixTreeMatch(parent: SpellNode, seq: Array[String], idx: Int): LcsCluster = {
     val length = seq.length
@@ -81,8 +83,7 @@ final class SpellModel(val tau: Double = 0.5) extends Serializable {
         case Some(child) =>
           if (child.cluster != null) {
             val constCount = child.cluster.template.count(_ != Wildcard)
-            if (constCount.toDouble >= 0.5 * length) return child.cluster
-            return null
+            if (constCount.toDouble >= tau * length) return child.cluster
           } else return prefixTreeMatch(child, seq, i + 1)
         case None => ()
       }

@@ -87,9 +87,37 @@ object ParquetManifestTable extends TableFormat {
     * by the tag, and [[tags]] lets a resuming job see which tagged appends already
     * committed — the manifest IS the checkpoint (commit = atomic manifest swap, so a
     * crash between data write and manifest leaves an invisible, re-writable dir).
+    *
+    * Tagged appends are UPSERTS: a previously committed dir with the same tag is
+    * dropped from the new snapshot's dir list, so re-running a tagged unit of work
+    * (a resume chunk whose routed commit never landed) replaces its control rows
+    * instead of double-counting them.
     */
   def appendTagged(df: DataFrame, table: String, tag: String,
-                   partitionBy: Seq[String] = Nil): Long = {
+                   partitionBy: Seq[String] = Nil): Long =
+    stageTagged(df, table, tag, partitionBy).commit()
+
+  /** A staged append: data files written and readable at [[dataPath]], but invisible
+    * to readers until [[commit]] swaps the manifest. Lets a caller derive follow-on
+    * sinks (lineage) from the physical files BEFORE the snapshot becomes the
+    * durable checkpoint marker.
+    */
+  final case class StagedAppend(spark: SparkSession, table: String, id: Long,
+                                dir: String, tag: String) {
+    def dataPath: String = dataDir(table, dir)
+    def commit(): Long = {
+      val snaps = loadManifest(spark, table)
+      val newId = math.max(id, snaps.lastOption.map(_._1).getOrElse(0L) + 1)
+      val prev = snaps.lastOption.map(_._2).getOrElse(Nil)
+        .filterNot(d => tag.nonEmpty && d.endsWith(s"_$tag"))
+      saveManifest(spark, table, snaps :+ ((newId, prev :+ dir)))
+      newId
+    }
+  }
+
+  /** Phase 1 of a tagged append: write the parquet files, no manifest commit. */
+  def stageTagged(df: DataFrame, table: String, tag: String,
+                  partitionBy: Seq[String] = Nil): StagedAppend = {
     val spark = df.sparkSession
     val snaps = loadManifest(spark, table)
     val newId = snaps.lastOption.map(_._1).getOrElse(0L) + 1
@@ -97,8 +125,20 @@ object ParquetManifestTable extends TableFormat {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dataDir(table, dir))
-    val cumulative = snaps.lastOption.map(_._2).getOrElse(Nil) :+ dir
-    saveManifest(spark, table, snaps :+ ((newId, cumulative)))
+    StagedAppend(spark, table, newId, dir, tag)
+  }
+
+  /** Replace the table contents with `df` as a new snapshot (non-cumulative dirs):
+    * the right shape for recomputed aggregates — re-running an aggregate replaces
+    * the old rollup instead of double-counting it into the union.
+    */
+  def replace(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val snaps = loadManifest(spark, table)
+    val newId = snaps.lastOption.map(_._1).getOrElse(0L) + 1
+    val dir = s"s$newId"
+    df.write.mode("overwrite").parquet(dataDir(table, dir))
+    saveManifest(spark, table, snaps :+ ((newId, Seq(dir))))
     newId
   }
 

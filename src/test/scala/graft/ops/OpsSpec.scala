@@ -79,6 +79,54 @@ class OpsSpec extends SparkSuite {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedup: minhash-LSH recall vs the exact-Jaccard oracle on real near-dups") {
+    // near-dup corpus: real docs + one-word-appended copies (the harness fixture)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100).select("doc_id", "text")
+    val withNear = d.unionByName(d.filter(col("doc_id") % 2 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" zzappended"))))
+    val exact = Dedup.ngramJaccardPairs(withNear, "doc_id", "text", k = 3, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashDupPairs(withNear, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // every LSH-verified pair is exact-verified too (verification IS exact Jaccard)
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // recall ≥ 0.9 at these (bands=16, rows=4, j≥0.9) parameters
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (|exact|=${exact.size}, |lsh|=${lsh.size})")
+  }
+
+  test("dedup: ngramJaccardPairs REJECTS oversized inputs (quadratic guard)") {
+    val big = spark.range(20001).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(big, "doc_id", "text", maxRows = 20000)
+    }
+    assert(e.getMessage.contains("maxRows"))
+  }
+
+  test("dedup: minhash bucket cap skips boilerplate mega-buckets, reports them") {
+    // 300 identical docs = one giant identical-signature bucket (quadratic if joined)
+    val boiler = spark.range(300).select(col("id").as("doc_id"),
+      lit("same boilerplate text repeated across the whole crawl segment").as("text"))
+    val distinct = Seq((1000L, "an actually unique document body here"),
+      (1001L, "an actually unique document body here")).toDF("doc_id", "text")
+    val corpus = boiler.unionByName(distinct)
+    val over = Dedup.oversizeBuckets(corpus, "doc_id", "text", k = 3,
+      numHashes = 64, bands = 16, maxBucketSize = 100).collect()
+    assert(over.nonEmpty && over.forall(_.getLong(2) >= 300),
+      s"expected the 300-doc boilerplate buckets flagged: ${over.take(2).mkString}")
+    val pairs = Dedup.minhashDupPairs(corpus, "doc_id", "text", k = 3,
+      numHashes = 64, bands = 16, threshold = 0.9, maxBucketSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1000L, 1001L)), "small buckets must still pair")
+    assert(!pairs.exists(p => p._1 < 300 && p._2 < 300),
+      "capped mega-bucket must be skipped (handled by exactDedup upstream)")
+  }
+
   test("dedup: simhash hamming-0 catches exact dups") {
     val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -140,6 +188,16 @@ class OpsSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(Set((0L, 1000L), (10L, 1010L), (20L, 1020L), (30L, 1030L), (40L, 1040L))
       .subsetOf(pairs), s"pairs=$pairs")
+  }
+
+  test("ann: bucket count auto-scales with corpus size (quadratic-bucket guard)") {
+    assert(Ann.autoPlanes(1000, 512) == 4) // floor clamp
+    assert(Ann.autoPlanes(512L * 1024, 512) == 10) // 2^10 buckets of ~512
+    assert(Ann.autoPlanes(1L << 45, 512) == 30) // ceiling clamp at 10^12+ rows
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Ann.topKJoin(e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
+      "embedding", 64, k = 3) // planes auto-derived from corpus count
+    assert(out.groupBy("id_l").count().collect().forall(_.getLong(1) <= 3))
   }
 
   test("multimodal: stub decode produces stable features and metadata") {

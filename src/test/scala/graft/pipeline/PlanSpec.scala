@@ -47,6 +47,18 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), s"dim join must broadcast:\n$plan")
   }
 
+  test("minhash plan reads signature/banded stages from cache, not re-evaluation") {
+    // Catalyst inlines unpersisted projections into every branch (bucket agg + both
+    // self-join sides + verify joins) — round 2 measured the un-cached plan at 6×
+    // the hashing cost. The materialization points must stay in the plan.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.dedup.Dedup.minhashDupPairs(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val cacheScans = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheScans >= 4,
+      s"expected ≥4 cache scans (banded ×3, shingles ×2), got $cacheScans:\n${plan.take(2000)}")
+  }
+
   test("structuring stays inside whole-stage codegen") {
     val p = new LogPipeline(PipelineConfig.hdfs)
     val pages = spark.read.parquet(pagesDir)

@@ -32,6 +32,36 @@ class SampledMineSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("mineSampleLimit caps rows CROSSING the mine exchange (pre-shuffle, not post)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val limit = 20
+    val cfg = PipelineConfig.hdfs.copy(mineSampleLimit = Some(limit))
+    val p = new LogPipeline(cfg)
+    // few input partitions so the per-partition-cap bound is much tighter than the
+    // raw line count (2000 pages ≈ 23k lines; bound = limit × parts × #len-groups)
+    val pages = WebPagesGen.pages(spark, 2000L).toDF().repartition(2)
+    val masked = p.withMasked(p.structure(p.explodeLines(pages))).persist()
+    val totalLines = masked.filter(col("parsed")).count() // materialize BEFORE listening
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      p.mineDrain(masked)
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(2000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    masked.unpersist()
+    // generous structural bound: 2 partitions × 20/len-group × ~16 groups = 640 « 23k
+    assert(totalLines > 10000, s"fixture shrunk? lines=$totalLines")
+    assert(shuffled.get() > 0, "mine must still exchange the sampled rows")
+    assert(shuffled.get() <= 2L * limit * 16,
+      s"mine exchange moved ${shuffled.get()} rows — the sample cap must apply BEFORE the shuffle")
+  }
+
   test("sampled mine is deterministic across partitionings") {
     val cfg = PipelineConfig.hdfs.copy(mineSampleLimit = Some(20))
     val pages = WebPagesGen.pages(spark, 150L).toDF()
