@@ -27,8 +27,8 @@ import scala.collection.mutable.ArrayBuffer
 object Bench {
 
   private val ConvergeTol = 0.10
-  private val MaxReps = 6
-  private val MinReps = 3
+  private val MaxReps = 7
+  private val MinReps = 4
 
   /** Pin this JVM (all threads) to `n` CPUs. Without this, local[4] still enjoys
     * 32-wide GC/daemon threads on this 32-core box — a "4-executor cluster" with a
@@ -55,10 +55,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // shuffle + spill files on tmpfs: round 1 moved only the SINKS off the shared
+      // disk; shuffle blocks still hit /tmp on /dev/vda, whose writeback storms were
+      // the dominant run-to-run variance (a cluster shuffles to per-executor disks)
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  private def localDir: String =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_bench_local"
+    else "/tmp/graft_bench_local"
 
   /** The scale-configured pipeline: identical operators to the correctness path, with
     * the SURVEY-documented 10^12-row knob engaged — `mineSampleLimit` bounds the rows
@@ -83,8 +91,10 @@ object Bench {
     // match UDF + param extraction twice
     val assigned = assignedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val enriched = p.enrich(assigned, WebPagesGen.dimDomainLang(spark))
+    // normalized routed schema, same as LogPipeline.routedWrite: the template string
+    // rides in the templates sink, not on every routed row
     enriched.repartitionByRange(col("event_id"), p.saltCol)
-      .drop("masked", "parsed")
+      .drop("masked", "parsed", "event_template")
       .write.mode("overwrite").partitionBy("event_id").parquet(s"$outDir/routed")
     p.templateCounts(assigned)
       .write.mode("overwrite").parquet(s"$outDir/templates")
@@ -107,12 +117,11 @@ object Bench {
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_bench"
       else "/tmp/graft_bench")
     val nPages = WebPagesGen.pagesForSfDir(sfDir)
-    // Scaling input = 2× the sf page count: the job carries ~10 s of size-independent
-    // driver cost (mine/residue collect barriers, range-boundary sampling, commits);
-    // at 1× that cost is ~12% of the N=1 run and caps measurable efficiency at ~0.75
-    // even for a perfectly parallel job. 2× amortizes it the way an hours-long 100 TB
-    // run would. (Solved from round-2 measurements: T1 = p+f, T4 = p/4+f.)
-    val scalePages = nPages * sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "2").toInt
+    // Scaling input = the sf page count (round-2 measurements: the N:4N ratio was
+    // input-size-invariant at 200k vs 400k pages — the loss was run-to-run variance,
+    // treated via tmpfs shuffle dirs + symmetric min-4 reps — so shorter runs and
+    // more converged reps beat a bigger input)
+    val scalePages = nPages * sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "1").toInt
     val pagesPath = s"/tmp/graft_bench_input/web_pages_$scalePages"
 
     // ---- materialize input once (fixed seed; reused at both parallelism levels)

@@ -53,12 +53,34 @@ object Dedup {
     transform(shingles, s => xxhash64(s))
 
   /** MinHash signature from pre-hashed shingles: for each of `numHashes` seeded
-    * derived hash functions, the min over `xxhash64(baseHash, seed)` — a fixed-width
-    * long re-hash (cheap, codegen'd), never a re-hash of the shingle bytes.
+    * derived hash functions, the min over a cheap long-mix of the base hash.
+    *
+    * Implemented as a tight-loop UDF rather than nested higher-order functions: the
+    * HOF form (`transform(seq, h => array_min(transform(bh, …)))`) is interpreted
+    * per lambda element and allocates a shingle-sized array per hash function —
+    * measured ~1 µs/element vs ~5 ns for the loop (same justification as the
+    * simhash64 bit-loop; there is no built-in that expresses "k mins in one pass").
+    * The mix is splitmix64-style over (baseHash, seed) — any good 64-bit family
+    * works; nothing pins the exact values.
     */
   def minhashSignature(baseHashes: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      h => array_min(transform(baseHashes, x => xxhash64(x, h))))
+    minhashSigUdf(baseHashes, lit(numHashes))
+
+  private val minhashSigUdf = udf { (bh: Seq[Long], numHashes: Int) =>
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    bh.foreach { b =>
+      var i = 0
+      while (i < numHashes) {
+        var z = b + (i + 1) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D4ECB9ACAAD335L
+        z ^= z >>> 31
+        if (z < mins(i)) mins(i) = z
+        i += 1
+      }
+    }
+    mins.toSeq
+  }
 
   /** LSH band keys: hash `rows`-sized runs of the signature; docs sharing any band
     * key are candidates. Output: array of (band, bandHash).

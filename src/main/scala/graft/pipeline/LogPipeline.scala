@@ -253,11 +253,17 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
     * file count stays O(tasks), not O(tasks × sinks), which keeps the commit cheap
     * and the sink readable at 1000 executors. The salt still splits a hot template's
     * rows across adjacent tasks (explicit skew handling, north_rule).
+    *
+    * The routed schema is NORMALIZED: `event_template` (a long string repeated per
+    * row) is dropped — it is the metadata of the `event_id` partition key and lives
+    * once per template in the templates sink. At 10^12 rows the string would
+    * dominate the route shuffle and the sink bytes for zero information.
     */
   def routedWrite(enriched: DataFrame, routedTable: String, tag: String): Long = {
     val salted = enriched.repartitionByRange(col("event_id"), saltCol)
     ParquetManifestTable.appendTagged(
-      salted.drop("masked", "parsed"), routedTable, tag, partitionBy = Seq("event_id"))
+      salted.drop("masked", "parsed", "event_template"), routedTable, tag,
+      partitionBy = Seq("event_id"))
   }
 
   /** A1/S5 aggregate sink: per-template occurrence counts (and per-sink row counts —

@@ -36,6 +36,11 @@ object ResumableRunner {
   def lineageTable(outDir: String) = s"$outDir/sinks/lineage"
   def metricsTable(outDir: String) = s"$outDir/sinks/metrics"
   def templatesTable(outDir: String) = s"$outDir/sinks/templates"
+  /** Per-chunk partial template counts (control sink): the final templates rollup
+    * re-aggregates THESE instead of re-reading the full routed table — O(#templates ×
+    * #chunks) bytes instead of a second full-corpus scan per run.
+    */
+  def templatesChunksTable(outDir: String) = s"$outDir/sinks/templates_chunks"
 
   /** Load-or-mine the frozen match catalog. */
   def catalogFor(spark: SparkSession, cfg: PipelineConfig, pages: DataFrame,
@@ -128,6 +133,13 @@ object ResumableRunner {
           .withColumn("chunk", lit(c))
         ParquetManifestTable.appendTagged(metrics, metricsTable(outDir), s"c$c")
 
+        // per-chunk template counts: computed from `assigned` (which still carries
+        // event_template — the routed sink is normalized and does not), committed
+        // before the checkpoint marker like every control sink
+        val chunkCounts = assigned.groupBy("event_id", "event_template")
+          .agg(count(lit(1)).as("occurrences")).withColumn("chunk", lit(c))
+        ParquetManifestTable.appendTagged(chunkCounts, templatesChunksTable(outDir), s"c$c")
+
         if (failBeforeRoutedCommit.contains(c)) throw new SimulatedCrash(c)
         staged.commit()
 
@@ -136,12 +148,12 @@ object ResumableRunner {
       } finally masked.unpersist()
     }
 
-    // final aggregate sink: per-template counts over everything routed so far —
-    // REPLACE semantics (recomputed rollup), so a rerun over a completed outDir
-    // rewrites the same counts instead of appending a double-counting snapshot.
-    val all = readRouted(spark, outDir)
-    val counts = all.groupBy("event_id", "event_template")
-      .agg(count(lit(1)).as("occurrences"))
+    // final aggregate sink: rollup of the per-chunk partial counts (no full routed
+    // re-read) — REPLACE semantics (recomputed rollup), so a rerun over a completed
+    // outDir rewrites the same counts instead of appending a double-counting snapshot.
+    val counts = ParquetManifestTable.read(spark, templatesChunksTable(outDir))
+      .groupBy("event_id", "event_template")
+      .agg(sum("occurrences").as("occurrences"))
       .orderBy("event_id", "event_template")
     ParquetManifestTable.replace(counts, templatesTable(outDir))
 

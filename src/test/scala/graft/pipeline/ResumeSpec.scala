@@ -29,10 +29,12 @@ class ResumeSpec extends SparkSuite {
     assert(repB.chunksSkipped == Seq(0, 1))
     assert(repB.chunksRun == Seq(2, 3))
 
+    // routed rows are normalized (no event_template column — it lives in the
+    // templates sink); equality on the full remaining row set
     val a = ResumableRunner.readRouted(spark, dirA)
-      .select("url", "line_no", "event_id", "event_template")
+      .select("url", "line_no", "event_id", "matched_by", "Content")
     val b = ResumableRunner.readRouted(spark, dirB)
-      .select("url", "line_no", "event_id", "event_template")
+      .select("url", "line_no", "event_id", "matched_by", "Content")
     assert(a.count() == b.count())
     assert(a.exceptAll(b).count() == 0)
     assert(b.exceptAll(a).count() == 0)
