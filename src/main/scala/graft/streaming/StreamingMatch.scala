@@ -75,6 +75,22 @@ object StreamingMatch {
       }
   }
 
+  /** Streaming routed sink: the per-template-cluster fan-out as an exactly-once
+    * parquet file sink (`partitionBy(event_id)`), checkpointed. Restarting a query
+    * with the SAME checkpointLocation resumes from the last committed micro-batch —
+    * Spark's file-sink commit log (`_spark_metadata`) plays the role the snapshot
+    * manifest plays on the batch path, so a crash never duplicates or loses a
+    * routed row. Same normalized schema as the batch routed sink (template string
+    * lives in the templates sink).
+    */
+  def routedSink(matched: DataFrame, outDir: String, checkpointDir: String) =
+    matched.drop("masked", "parsed", "event_template")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_id")
+      .outputMode(OutputMode.Append())
+
   /** Drive a matched stream into an in-memory table synchronously (test/demo). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
     val q = df.writeStream.format("memory").queryName(name)

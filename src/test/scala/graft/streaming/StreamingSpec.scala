@@ -53,4 +53,41 @@ class StreamingSpec extends SparkSuite {
     assert(totals.exceptAll(batchCounts).count() == 0)
     assert(batchCounts.exceptAll(totals).count() == 0)
   }
+
+  test("streaming routed sink: checkpointed restart is exactly-once, == batch") {
+    val pages = WebPagesGen.pages(spark, N).toDF()
+    val (catalog, batchAssigned) = LogPipeline.assignAll(spark, pages, cfg)
+    val bc = spark.sparkContext.broadcast(catalog)
+
+    val src = Files.createTempDirectory("graft_stream_src").toString
+    val out = Files.createTempDirectory("graft_stream_routed").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    def stream() = StreamingMatch.matchedStream(
+      StreamingMatch.readPages(spark, src), cfg, bc)
+
+    // phase 1: first half of the corpus arrives, query runs, then STOPS (crash/stop)
+    pages.filter(col("url").endsWith("0") || col("url").endsWith("1"))
+      .write.mode("append").parquet(src)
+    val q1 = StreamingMatch.routedSink(stream(), out, ckpt).start()
+    q1.processAllAvailable(); q1.stop()
+
+    // phase 2: more data arrives while the query is down; RESTART from the SAME
+    // checkpoint — the sink must contain each routed row exactly once
+    pages.filter(!(col("url").endsWith("0") || col("url").endsWith("1")))
+      .write.mode("append").parquet(src)
+    val q2 = StreamingMatch.routedSink(stream(), out, ckpt).start()
+    q2.processAllAvailable(); q2.stop()
+
+    val routed = spark.read.parquet(out).select("url", "line_no", "event_id")
+    val batch = batchAssigned.select("url", "line_no", "event_id")
+    assert(routed.count() == batch.count())
+    assert(routed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(routed).count() == 0)
+    val dups = routed.groupBy("url", "line_no").count().filter(col("count") > 1).count()
+    assert(dups == 0, "restart from checkpoint must not duplicate routed rows")
+    // fan-out shape: hive-partitioned per-template dirs, commit log present
+    val fsDirs = new java.io.File(out).listFiles().map(_.getName)
+    assert(fsDirs.exists(_.startsWith("event_id=")))
+    assert(fsDirs.contains("_spark_metadata"))
+  }
 }
