@@ -136,27 +136,34 @@ object Bench {
     pipelineRun(spark, pagesPath, s"$work/out_warm")
     pipelineRun(spark, pagesPath, s"$work/out_warm")
 
-    // ---- rep-until-converged per level: one pinned warm-up (C2 finishes compiling
-    // under the level's real affinity), then timed reps until the newest run is
-    // within ConvergeTol of the best-so-far (noise spikes above tolerance keep the
-    // loop running, capped at MaxReps).
-    def convergedRuns(level: Int, tag: String): ArrayBuffer[Double] = {
+    // ---- rep-until-converged, levels ALTERNATED: one pinned warm-up per level (C2
+    // finishes compiling under the level's real affinity), then timed reps in N/4N
+    // pairs until BOTH levels' newest runs are within ConvergeTol of their
+    // best-so-far (min MinReps pairs, cap MaxReps). Alternation is load-bearing: a
+    // sequential per-level loop exposes each level to DIFFERENT minutes of host
+    // weather (JIT tail, page-cache state, background load), and whichever level
+    // drew the calmer window gets a biased min — measured ±0.08 efficiency swings
+    // from exactly that. Interleaving gives both levels the same draw of conditions,
+    // so disturbances cancel in the ratio instead of landing on one side.
+    def timedRun(level: Int, tag: String): Double = {
       spark = session(level)
       pinCpus(level)
-      pipelineRun(spark, pagesPath, s"$work/out_warm_$tag") // pinned warm-up, untimed
-      val runs = ArrayBuffer[Double]()
-      var converged = false
-      while (!converged && runs.size < MaxReps) {
-        runs += pipelineRun(spark, pagesPath, s"$work/out_$tag")
-        converged = runs.size >= MinReps &&
-          math.abs(runs.last - runs.init.min) <= ConvergeTol * runs.init.min
-      }
+      val t = pipelineRun(spark, pagesPath, s"$work/out_$tag")
       pinCpus(cpus)
-      runs
+      t
     }
+    def converged(runs: ArrayBuffer[Double]): Boolean =
+      runs.size >= MinReps &&
+        math.abs(runs.last - runs.init.min) <= ConvergeTol * runs.init.min
 
-    val runsN = convergedRuns(nLow, "n")
-    val runs4n = convergedRuns(nHigh, "4n")
+    timedRun(nLow, "warm_n") // pinned warm-ups, untimed
+    timedRun(nHigh, "warm_4n")
+    val runsN = ArrayBuffer[Double]()
+    val runs4n = ArrayBuffer[Double]()
+    while ((!converged(runsN) || !converged(runs4n)) && runsN.size < MaxReps) {
+      runsN += timedRun(nLow, "n")
+      runs4n += timedRun(nHigh, "4n")
+    }
     val t4n = runs4n.min
     val d4n = scalePages / t4n
     val tn = runsN.min

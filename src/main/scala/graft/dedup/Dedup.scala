@@ -67,6 +67,9 @@ object Dedup {
     minhashSigUdf(baseHashes, lit(numHashes))
 
   private val minhashSigUdf = udf { (bh: Seq[Long], numHashes: Int) =>
+    // null in (null text) → null out, matching the pure-column form's propagation
+    if (bh == null) null
+    else {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     bh.foreach { b =>
       var i = 0
@@ -80,6 +83,7 @@ object Dedup {
       }
     }
     mins.toSeq
+    }
   }
 
   /** LSH band keys: hash `rows`-sized runs of the signature; docs sharing any band

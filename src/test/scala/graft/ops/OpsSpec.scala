@@ -99,6 +99,16 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low (|exact|=${exact.size}, |lsh|=${lsh.size})")
   }
 
+  test("dedup: minhash tolerates null text (null row contributes no pairs)") {
+    val withNull = docs.unionByName(Seq((99L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val pairs = Dedup.minhashDupPairs(withNull, "doc_id", "text",
+      k = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
   test("dedup: ngramJaccardPairs REJECTS oversized inputs (quadratic guard)") {
     val big = spark.range(20001).select(col("id").as("doc_id"),
       concat(lit("doc "), col("id")).as("text"))
@@ -208,6 +218,17 @@ class OpsSpec extends SparkSuite {
     assert(f1.map(_.getString(3)).toSeq == f2.map(_.getString(3)).toSeq) // deterministic
     assert(f1.forall(_.getString(1) == "html"))
     assert(f1.forall(_.getSeq[Float](6).length == 32))
+  }
+
+  test("multimodal: frame-sample offsets are deterministic, bounded, stride-spaced") {
+    val d = Seq((1L, Array.fill[Byte](1000)(7)), (2L, Array.fill[Byte](10)(7)),
+      (3L, Array.empty[Byte])).toDF("id", "html")
+    val out = d.select(col("id"),
+      Multimodal.frameSampleOffsets("html", stride = 100, maxFrames = 5).as("offs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(0L, 100L, 200L, 300L, 400L)) // capped at maxFrames
+    assert(out(2L) == Seq(0L)) // shorter than one stride → first frame only
+    assert(out(3L) == Seq(0L)) // empty payload clamps to offset 0
   }
 
   test("evaluator: perfect parse scores 1.0 PA / F1, split-group penalizes PA") {

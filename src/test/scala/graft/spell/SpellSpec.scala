@@ -58,6 +58,24 @@ class SpellSpec extends AnyFunSuite {
     assert(m.clusterList.size == 2)
   }
 
+  test("prefixTreeMatch uses tau (not hardcoded 0.5) and continues past a failing cluster") {
+    // c1 sits at the first scanned token but fails the threshold; the scan must
+    // CONTINUE at the same parent (reference for-loop fall-through) and find c2.
+    val m = new SpellModel(0.5)
+    val c1 = new LcsCluster(Array("a", "<*>", "<*>", "<*>"), 1L) // constCount 1
+    val c2 = new LcsCluster(Array("b", "c", "d"), 1L)            // constCount 3
+    m.addToPrefixTree(c1); m.addToPrefixTree(c2)
+    val seq = Array("a", "b", "c", "d") // threshold 0.5*4 = 2: c1 fails, c2 passes
+    assert(m.prefixTreeMatch(m.root, seq, 0) eq c2)
+
+    // same tree at tau = 0.9: threshold 3.6 — BOTH clusters fail → null
+    // (the old hardcoded-0.5 comparison would wrongly accept c2 here)
+    val strict = new SpellModel(0.9)
+    strict.addToPrefixTree(new LcsCluster(Array("a", "<*>", "<*>", "<*>"), 1L))
+    strict.addToPrefixTree(new LcsCluster(Array("b", "c", "d"), 1L))
+    assert(strict.prefixTreeMatch(strict.root, seq, 0) == null)
+  }
+
   test("search on frozen model matches without minting clusters") {
     val m = new SpellModel()
     m.add(T("user login from 10.0.0.1"))
