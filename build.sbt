@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // throughput-batch workload: ParallelGC beats G1's pause-target behavior here
   "-XX:+UseParallelGC",
+  // GC ergonomics size the worker pool from the MACHINE's 32 CPUs at JVM start;
+  // the bench then taskset-pins the JVM to 1–4 cores, leaving 32 GC threads to
+  // thrash on every young-gen pause. Pin the pool to the bench's high level.
+  "-XX:ParallelGCThreads=4",
 )

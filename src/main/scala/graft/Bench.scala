@@ -162,6 +162,13 @@ object Bench {
     val runs4n = ArrayBuffer[Double]()
     while ((!converged(runsN) || !converged(runs4n)) && runsN.size < MaxReps) {
       runsN += timedRun(nLow, "n")
+      // TWO high-level draws per pair: the 4N job is ~3.5× shorter, so a fixed-size
+      // hiccup (GC pause, commit stall) moves its floor estimate ~3.5× more per
+      // draw — across five same-code runs the N floor sat in a 4% band while the 4N
+      // floor wandered 20% (24.1–28.9 s), flipping the efficiency across the 0.8
+      // bar. Doubling the short level's draws equalizes floor-estimation quality at
+      // ~⅔ the cost of doubling the pairs.
+      runs4n += timedRun(nHigh, "4n")
       runs4n += timedRun(nHigh, "4n")
     }
     val t4n = runs4n.min

@@ -137,6 +137,23 @@ object SparkEntry {
         .toDF("style", "parsing_accuracy", "floor", "n_lines")
     }),
 
+    "log_templates_agg" -> ((s, dir) => {
+      // the shuffle-light scale-path miner (typed Aggregator: only O(#templates)
+      // partial trees cross the wire — the mine you run when the corpus is 10^12
+      // rows and grouping-metric parity suffices) exposed as a first-class operator
+      import s.implicits._
+      val cfg = PipelineConfig.hdfs
+      val p = new LogPipeline(cfg)
+      val pages = WebPagesGen.pages(s, 2000L).toDF()
+      val toks = p.withMasked(p.structure(p.explodeLines(pages)))
+        .filter(col("parsed")).select("masked").as[String]
+        .map(RexCompiler.tokenize)
+      val agg = new graft.drain.DrainAggregator(cfg.depth, cfg.st, cfg.maxChild)
+      toks.select(agg.toColumn).collect()(0).toSeq
+        .sortBy(r => (r.event_template, r.event_id))
+        .toDF()
+    }),
+
     "log_spell_templates" -> ((s, dir) => {
       // Spell as the PRIMARY miner (reference ships it as a full parser): sequential
       // deterministic mine over a bounded canonical prefix, like its online design.
