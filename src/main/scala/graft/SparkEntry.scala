@@ -238,11 +238,21 @@ object SparkEntry {
     "d_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(docsWithDups(s, dir), "doc_id", "text").select("doc_id")),
     "d_minhash_pairs" -> ((s, dir) =>
+      // oracled against the EXACT all-pairs Jaccard≥0.9 set: the trailing verify
+      // stage guarantees precision 1.0, and at (bands=16, rows=4) every J≥0.9 pair
+      // in this corpus lands in a shared band (exact copies have J=1 → identical
+      // signatures → every band; the natural near-dup pairs are verified equal to
+      // the exact set), so the oracle doubles as a recall=1.0 assertion
       Dedup.minhashDupPairs(docsWithDups(s, dir), "doc_id", "text",
         k = 3, numHashes = 64, bands = 16, threshold = 0.9)
         .select(col("id_a"), col("id_b"))),
     "d_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashDupPairs(docsWithDups(s, dir), "doc_id", "text", maxHamming = 0)
+      // FNV sketch family so the DuckDB oracle can recompute the simhash bit-for-bit
+      // (HUGEINT wrapping arithmetic + per-bit majority); at maxHamming=0 the
+      // pigeonhole banding is EXACT (hamming 0 ⇒ all four 16-bit bands equal), so
+      // the pair set is provably all equal-simhash pairs — no recall caveat
+      Dedup.simhashDupPairs(docsWithDups(s, dir), "doc_id", "text", maxHamming = 0,
+        hashFn = c => Dedup.simhash64Fnv(c))
         .select(col("id_a"), col("id_b"))),
     "d_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
@@ -501,6 +511,35 @@ object SparkEntry {
         "THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS rfp " +
         "FROM (SELECT doc_id, list_reduce(list_prepend(1469598103934665603::HUGEINT, hs), " +
         "(acc, t) -> (acc * 1099511628211::HUGEINT + t) % 18446744073709551616::HUGEINT) AS u FROM th)"),
+    "d_minhash_pairs" ->
+      // exact all-pairs shingle Jaccard — LSH's precision is exact (verify stage)
+      // and its recall on this corpus is 1.0 (see the query comment), so the
+      // approximate path must reproduce the exact pair set
+      ("WITH docs AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+        "ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')) END) AS s " +
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM docs)) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
+        "AND len(list_intersect(a.s, b.s))::DOUBLE / GREATEST(len(list_distinct(a.s || b.s)), 1) >= 0.9"),
+    "d_simhash_pairs" ->
+      // full simhash recomputation: FNV-1a-64 per token (HUGEINT mod-2^64, same
+      // emulation as t_rolling_fp), token hash → 64-char binary string, per-bit
+      // strict majority (2·#set > #tokens, ties → 0) → 64-bit key; pairs = equal
+      // keys. Hamming-0 banding on the Spark side is pigeonhole-exact, so the two
+      // sides must agree exactly.
+      ("WITH docs AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0), " +
+        "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM docs), " +
+        "th AS (SELECT doc_id, list_transform(ts, t -> list_reduce(" +
+        "list_prepend(14695981039346656037::HUGEINT, " +
+        "list_transform(list_filter(regexp_split_to_array(t, ''), x -> x != ''), c -> unicode(c)::HUGEINT)), " +
+        "(acc, c) -> ((acc - (acc % 65536) + xor((acc % 65536)::BIGINT, c::BIGINT)::HUGEINT) " +
+        "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hs FROM toks), " +
+        "bits AS (SELECT doc_id, list_transform(hs, u -> lpad(bin(u), 64, '0')) AS bs FROM th), " +
+        "k AS (SELECT doc_id, array_to_string(list_transform(range(1, 65), i -> " +
+        "CASE WHEN 2 * len(list_filter(bs, b -> b[i] = '1')) > len(bs) THEN '1' ELSE '0' END), '') AS key FROM bits) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id"),
     "d_jaccard_pairs" ->
       ("WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100 " +
         "UNION ALL SELECT doc_id + 100000, text || ' zzappended' FROM documents " +

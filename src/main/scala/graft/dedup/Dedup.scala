@@ -219,14 +219,41 @@ object Dedup {
     }
   }
 
+  /** SimHash over the FNV-1a token-hash family (same per-token hash as
+    * [[graft.text.TextOps.rollingFingerprint]], whose wrapping 64-bit arithmetic is
+    * already emulated in DuckDB HUGEINT) — bit-reproducible by a SQL oracle, unlike
+    * [[simhash64]]'s MurmurHash3 family. Same algorithm, same banding pipeline; only
+    * the hash family differs, so either variant exercises identical plan shapes.
+    */
+  val simhash64Fnv = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      val toks = text.trim.split("\\s+")
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        var h = -3750763034362895579L // FNV-1a 64 offset basis (unsigned 14695981039346656037)
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i).toLong; h *= 1099511628211L; i += 1 }
+        var j = 0
+        while (j < 64) { if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1; j += 1 }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+  }
+
   /** Near-dup candidates by SimHash: docs whose simhash agrees on a `prefixBits`-bit
     * band (4 rotations) are candidates; verified by Hamming distance ≤ maxHamming.
     * The rotation-band trick keeps this a hash-equi-join (shuffleable) rather than a
-    * quadratic distance scan.
+    * quadratic distance scan. `hashFn` selects the sketch family: [[simhash64]]
+    * (MurmurHash3 tokens, the fast default) or [[simhash64Fnv]] (DuckDB-reproducible).
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val withH = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+                      maxHamming: Int = 3,
+                      hashFn: Column => Column = c => simhash64(c)): DataFrame = {
+    val withH = df.select(col(idCol).as("id"), hashFn(col(textCol)).as("sh"))
     // 4 bands of 16 bits: pigeonhole — hamming ≤ 3 ⇒ at least one identical band
     val banded = withH.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b =>

@@ -222,15 +222,33 @@ final class DrainTree(val depth: Int = 4, val st: Double = 0.4, val maxChild: In
     */
   def search(tokens: Array[String]): LogCluster = treeSearch(tokens)
 
-  /** Associative merge for partial aggregation: re-insert every right-side cluster via
-    * the same search/match rules. Clusters are inserted in canonical
-    * (length, template-string) order so merge results are bit-identical across runs
-    * regardless of which partition produced which side (SURVEY §7 determinism note).
+  /** In-place merge: re-insert every right-side cluster via the same search/match
+    * rules, in canonical (length, template-string) order. NOTE: this keeps the left
+    * tree's structure intact, so `a.mergeFrom(b)` and `b.mergeFrom(a)` need not be
+    * bit-identical — use [[canonicalMerge]] where commutativity matters (the
+    * partial-aggregation path, where Spark does not fix which side is "left").
     */
   def mergeFrom(other: DrainTree): DrainTree = {
     val ordered = other.clusterList.sortBy(c => (c.template.length, c.templateStr))
     ordered.foreach(mergeCluster)
     this
+  }
+
+  /** Commutative merge for partial aggregation: rebuild a FRESH tree from the union
+    * of both cluster lists in canonical (length, template-string) order. Because the
+    * rebuild input is the same sorted multiset either way, `a.canonicalMerge(b)` and
+    * `b.canonicalMerge(a)` are bit-identical (ties are identical templates, whose
+    * counts sum commutatively). Online Drain remains insertion-order dependent, so
+    * the result across different merge-TREE shapes is PA-grade reproducible, not
+    * provably bit-identical — see [[DrainAggregator]]'s contract. Cost is
+    * O(|clusters| · insert), independent of row counts.
+    */
+  def canonicalMerge(other: DrainTree): DrainTree = {
+    val t = new DrainTree(depth, st, maxChild)
+    (clusterList ++ other.clusterList)
+      .sortBy(c => (c.template.length, c.templateStr))
+      .foreach(t.mergeCluster)
+    t
   }
 
   private def mergeCluster(c: LogCluster): Unit = {

@@ -12,20 +12,18 @@ final case class TemplateRow(event_id: String, event_template: String, occurrenc
   *  - `reduce` runs online Drain partition-locally (Spark keeps the buffer as a live
   *    object inside a partial aggregate; serialization happens only at partition
   *    boundaries),
-  *  - `merge` re-inserts right-tree clusters into the left tree in canonical
-  *    (length, template) order. NOTE: this canonicalizes only the right side — the
-  *    left tree's structure is kept intact, so merge is NOT commutative and Spark's
-  *    partial-merge pairing order is not deterministic across runs. The guarantee is
-  *    PA-grade reproducibility (stable grouping quality), not a bit-identical
-  *    template set; for bit-exactness use the default sequential-exact miner,
+  *  - `merge` is [[DrainTree.canonicalMerge]]: a fresh tree rebuilt from the sorted
+  *    union of both cluster lists, so `merge(a,b)` and `merge(b,a)` are bit-identical
+  *    (Spark does not fix which partial lands on which side). What is NOT promised is
+  *    invariance across different merge-TREE shapes — online Drain is
+  *    insertion-order dependent — so across-run reproducibility is PA-grade (stable
+  *    grouping quality); for bit-exactness use the default sequential-exact miner,
   *  - `finish` freezes the catalog.
   *
   * Trade-off vs [[graft.pipeline.LogPipeline.mineDrain]] (the default): this never
   * shuffles raw token rows — only O(#templates) partial trees — so at 10^12-doc scale
-  * it is the cheaper mine; but the mined template set depends on the partition layout
-  * (online Drain is input-order-dependent), so it is *run-reproducible* (canonical
-  * merge) yet not bit-identical to the sequential oracle. The default miner is
-  * sequential-exact; use this one when mining cost dominates and grouping-metric
+  * it is the cheaper mine; the price is the PA-grade (not bit-exact-vs-sequential)
+  * template set. Use this one when mining cost dominates and grouping-metric
   * parity (PA) suffices — which is exactly the reference's own correctness bar.
   */
 class DrainAggregator(depth: Int = 4, st: Double = 0.4, maxChild: Int = 100)
@@ -37,7 +35,7 @@ class DrainAggregator(depth: Int = 4, st: Double = 0.4, maxChild: Int = 100)
     b.add(tokens); b
   }
 
-  override def merge(b1: DrainTree, b2: DrainTree): DrainTree = b1.mergeFrom(b2)
+  override def merge(b1: DrainTree, b2: DrainTree): DrainTree = b1.canonicalMerge(b2)
 
   override def finish(r: DrainTree): Seq[TemplateRow] =
     r.catalog().map { case (id, tpl, n) => TemplateRow(id, tpl, n) }

@@ -115,6 +115,23 @@ class DrainSpec extends AnyFunSuite {
     assert(m1.map(c => (c._2, c._3)).toSet == m2.map(c => (c._2, c._3)).toSet)
   }
 
+  test("canonicalMerge is commutative bit-identically on random partition splits") {
+    // the Aggregator's merge contract: merge(a,b) == merge(b,a) exactly, for ANY
+    // pair of partials — exercised over randomized splits of a mixed corpus
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("get", "put", "del", "obj", "cache", "disk", "1", "22", "x9")
+    val corpus = (0 until 120).map(_ =>
+      Array.fill(3 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.length))))
+    for (_ <- 0 until 10) {
+      val (pa, pb) = corpus.partition(_ => rnd.nextBoolean())
+      val (ta, tb) = (DrainTree.mine(pa), DrainTree.mine(pb))
+      val ab = ta.canonicalMerge(tb).catalog()
+      val ba = tb.canonicalMerge(ta).catalog()
+      assert(ab == ba, "canonicalMerge(a,b) != canonicalMerge(b,a)")
+      assert(ab.map(_._3).sum == corpus.size.toLong)
+    }
+  }
+
   test("search on a frozen tree matches without mutating") {
     val t = DrainTree.mine(Seq(T("job 1 started on host1"), T("job 2 started on host2")))
     val before = t.catalog()

@@ -144,6 +144,31 @@ class OpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedup: simhash FNV variant (the DuckDB-reproducible family) agrees on dups") {
+    val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 0,
+      hashFn = c => Dedup.simhash64Fnv(c))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // pinned sketch value: the oracle emulates this arithmetic in HUGEINT — any
+    // drift in the FNV chain breaks the CORRECTNESS gate, so freeze it here too
+    val one = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+      .select(Dedup.simhash64Fnv(col("text"))).as[Long].head()
+    val expect = {
+      def th(t: String): Long = {
+        var h = -3750763034362895579L
+        t.foreach { ch => h ^= ch.toLong; h *= 1099511628211L }; h
+      }
+      val counts = new Array[Int](64)
+      Seq("alpha", "beta").foreach { t =>
+        val h = th(t)
+        (0 until 64).foreach(j => counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1))
+      }
+      (0 until 64).foldLeft(0L)((acc, i) => if (counts(i) > 0) acc | (1L << i) else acc)
+    }
+    assert(one == expect)
+  }
+
   test("ann: cosine + brute-force top-k on known vectors") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
