@@ -154,6 +154,16 @@ object SparkEntry {
         .toDF()
     }),
 
+    "iplom_templates" -> ((s, dir) => {
+      // the third miner (IPLoM partition refinement, Makanju et al. KDD'09): fully
+      // declarative — the whole mine is groupBy/agg — so unlike the online
+      // Drain/Spell miners its complete template catalog has a DuckDB oracle
+      val lines = t(s, dir, "events").select(
+        concat(col("event_type"), lit(" u"), col("user_id").cast("string"),
+          lit(" v"), round(col("value") * 100).cast("long").cast("string")).as("line"))
+      graft.iplom.Iplom.mineCatalog(lines, "line")
+    }),
+
     "log_spell_templates" -> ((s, dir) => {
       // Spell as the PRIMARY miner (reference ships it as a full parser): sequential
       // deterministic mine over a bounded canonical prefix, like its online design.
@@ -511,6 +521,26 @@ object SparkEntry {
         "THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS rfp " +
         "FROM (SELECT doc_id, list_reduce(list_prepend(1469598103934665603::HUGEINT, hs), " +
         "(acc, t) -> (acc * 1099511628211::HUGEINT + t) % 18446744073709551616::HUGEINT) AS u FROM th)"),
+    "iplom_templates" ->
+      // the full IPLoM mine replayed relationally: length partition → cardinality
+      // table → leftmost-min split (arg_min keyed nd*1e6+pos) → per-partition
+      // constant/wildcard pieces → merged catalog
+      ("WITH lines AS (SELECT event_type || ' u' || CAST(user_id AS VARCHAR) || ' v' || " +
+        "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS line FROM events), " +
+        "t2 AS (SELECT string_split_regex(trim(line), '\\s+') AS toks, " +
+        "CAST(len(string_split_regex(trim(line), '\\s+')) AS VARCHAR) AS pkey FROM lines), " +
+        "pe AS (SELECT pkey, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM t2), " +
+        "cards AS (SELECT pkey, arg_min(pos1, nd * 1000000 + pos1) AS split_pos1 FROM " +
+        "(SELECT pkey, pos1, count(DISTINCT tok) AS nd FROM pe GROUP BY pkey, pos1) WHERE nd > 1 GROUP BY pkey), " +
+        "r AS (SELECT CASE WHEN c.split_pos1 IS NULL THEN t2.pkey " +
+        "ELSE t2.pkey || ' ' || t2.toks[c.split_pos1] END AS pkey, t2.toks " +
+        "FROM t2 LEFT JOIN cards c ON t2.pkey = c.pkey), " +
+        "pe2 AS (SELECT pkey, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM r), " +
+        "agg AS (SELECT pkey, pos1, min(tok) AS lo, max(tok) AS hi, count(*) AS n FROM pe2 GROUP BY pkey, pos1), " +
+        "tpl AS (SELECT pkey, string_agg(CASE WHEN lo = hi THEN lo ELSE '<*>' END, ' ' ORDER BY pos1) AS event_template, " +
+        "max(CASE WHEN pos1 = 1 THEN n END) AS occurrences FROM agg GROUP BY pkey) " +
+        "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
+        "CAST(SUM(occurrences) AS BIGINT) AS occurrences FROM tpl GROUP BY event_template"),
     "d_minhash_pairs" ->
       // exact all-pairs shingle Jaccard — LSH's precision is exact (verify stage)
       // and its recall on this corpus is 1.0 (see the query comment), so the
