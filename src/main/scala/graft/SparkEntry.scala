@@ -164,6 +164,17 @@ object SparkEntry {
       graft.iplom.Iplom.mineCatalog(lines, "line")
     }),
 
+    "slct_templates" -> ((s, dir) => {
+      // fourth miner (SLCT frequent-word clustering): also fully declarative (two
+      // counting passes), also DuckDB-provable; support = 10% of rows so the same
+      // construction separates frequent event types from rare user/value tokens
+      // at every sf
+      val lines = t(s, dir, "events").select(
+        concat(col("event_type"), lit(" u"), col("user_id").cast("string"),
+          lit(" v"), round(col("value") * 100).cast("long").cast("string")).as("line"))
+      graft.slct.Slct.mineCatalog(lines, "line", support = lines.count() / 10)
+    }),
+
     "log_spell_templates" -> ((s, dir) => {
       // Spell as the PRIMARY miner (reference ships it as a full parser): sequential
       // deterministic mine over a bounded canonical prefix, like its online design.
@@ -541,6 +552,21 @@ object SparkEntry {
         "max(CASE WHEN pos1 = 1 THEN n END) AS occurrences FROM agg GROUP BY pkey) " +
         "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
         "CAST(SUM(occurrences) AS BIGINT) AS occurrences FROM tpl GROUP BY event_template"),
+    "slct_templates" ->
+      // SLCT's two counting passes replayed relationally: global (position, word)
+      // frequencies ≥ support → per-line abstraction (ordered string_agg) →
+      // cluster support filter
+      ("WITH lines AS (SELECT event_type || ' u' || CAST(user_id AS VARCHAR) || ' v' || " +
+        "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS line FROM events), " +
+        "s AS (SELECT count(*) // 10 AS sup FROM lines), " +
+        "t AS (SELECT row_number() OVER () AS lid, string_split_regex(trim(line), '\\s+') AS toks FROM lines), " +
+        "pe AS (SELECT lid, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM t), " +
+        "freq AS (SELECT pos1, tok FROM (SELECT pos1, tok, count(*) AS wf FROM pe GROUP BY pos1, tok) " +
+        "WHERE wf >= (SELECT sup FROM s)), " +
+        "ab AS (SELECT lid, string_agg(CASE WHEN f.tok IS NOT NULL THEN pe.tok ELSE '<*>' END, ' ' ORDER BY pe.pos1) " +
+        "AS event_template FROM pe LEFT JOIN freq f ON pe.pos1 = f.pos1 AND pe.tok = f.tok GROUP BY lid) " +
+        "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, count(*) AS occurrences " +
+        "FROM ab GROUP BY event_template HAVING count(*) >= (SELECT sup FROM s)"),
     "d_minhash_pairs" ->
       // exact all-pairs shingle Jaccard — LSH's precision is exact (verify stage)
       // and its recall on this corpus is 1.0 (see the query comment), so the
