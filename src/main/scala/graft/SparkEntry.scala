@@ -175,6 +175,19 @@ object SparkEntry {
       graft.slct.Slct.mineCatalog(lines, "line", support = lines.count() / 10)
     }),
 
+    "ael_templates" -> ((s, dir) => {
+      // fifth miner (AEL anonymize→bin→categorize→reconcile): the two line shapes
+      // exercise both paths — the long shape's five per-type templates reconcile
+      // into one (they differ only at the type position), the short 'ping' shape
+      // has no merge partner and must survive unchanged
+      val lines = t(s, dir, "events").select(
+        when(col("event_type") === "click", concat(col("event_type"), lit(" ping")))
+          .otherwise(concat(col("event_type"), lit(" user="),
+            col("user_id").cast("string"), lit(" code "),
+            (col("user_id") % 7).cast("string"))).as("line"))
+      graft.ael.Ael.mineCatalog(lines, "line")
+    }),
+
     "log_spell_templates" -> ((s, dir) => {
       // Spell as the PRIMARY miner (reference ships it as a full parser): sequential
       // deterministic mine over a bounded canonical prefix, like its online design.
@@ -552,6 +565,34 @@ object SparkEntry {
         "max(CASE WHEN pos1 = 1 THEN n END) AS occurrences FROM agg GROUP BY pkey) " +
         "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
         "CAST(SUM(occurrences) AS BIGINT) AS occurrences FROM tpl GROUP BY event_template"),
+    "ael_templates" ->
+      // AEL's four stages replayed relationally: per-token anonymize (CASE chain —
+      // lookbehind-free by construction), bin+categorize (GROUP BY pieces), and
+      // the leftmost-hole greedy reconcile (hole explode → mergeable signatures →
+      // per-template min hole → merge only where >= 2 templates chose it)
+      ("WITH lines AS (SELECT CASE WHEN event_type = 'click' THEN event_type || ' ping' " +
+        "ELSE event_type || ' user=' || CAST(user_id AS VARCHAR) || ' code ' || " +
+        "CAST(user_id % 7 AS VARCHAR) END AS line FROM events), " +
+        "anon AS (SELECT list_transform(string_split_regex(trim(line), '\\s+'), t -> " +
+        "CASE WHEN regexp_matches(t, '^\\w+=\\S+$') THEN regexp_replace(t, '=.*$', '=<*>') " +
+        "WHEN regexp_matches(t, '[0-9]') THEN '<*>' ELSE t END) AS pieces FROM lines), " +
+        "cat AS (SELECT pieces, len(pieces) AS len, " +
+        "len(list_filter(pieces, p -> p = '<*>' OR ends_with(p, '=<*>'))) AS nwild, " +
+        "count(*) AS occurrences FROM anon GROUP BY pieces), " +
+        "holes AS (SELECT len, nwild, pieces, occurrences, unnest(range(1, len + 1)) AS p FROM cat), " +
+        "holes2 AS (SELECT *, list_transform(pieces, (x, i) -> CASE WHEN i = p THEN '<*>' ELSE x END) AS holed FROM holes), " +
+        "mergeable AS (SELECT len, nwild, p, holed FROM holes2 GROUP BY 1, 2, 3, 4 HAVING count(DISTINCT pieces) >= 2), " +
+        "chosen AS (SELECT h.len, h.nwild, h.pieces, min(CASE WHEN m.holed IS NOT NULL THEN h.p END) AS p_chosen, " +
+        "first(h.occurrences) AS occurrences FROM holes2 h LEFT JOIN mergeable m " +
+        "ON h.len = m.len AND h.nwild = m.nwild AND h.p = m.p AND h.holed = m.holed GROUP BY 1, 2, 3), " +
+        "withm AS (SELECT len, nwild, p_chosen, pieces, occurrences, " +
+        "CASE WHEN p_chosen IS NULL THEN pieces ELSE list_transform(pieces, (x, i) -> " +
+        "CASE WHEN i = p_chosen THEN '<*>' ELSE x END) END AS merged FROM chosen), " +
+        "fin AS (SELECT len, nwild, p_chosen, merged, count(DISTINCT pieces) AS ntpl, " +
+        "sum(occurrences) AS occ, min(pieces) AS lone FROM withm GROUP BY 1, 2, 3, 4) " +
+        "SELECT substr(md5(tpl), 1, 8) AS event_id, tpl AS event_template, CAST(SUM(occ) AS BIGINT) AS occurrences " +
+        "FROM (SELECT array_to_string(CASE WHEN p_chosen IS NOT NULL AND ntpl >= 2 THEN merged ELSE lone END, ' ') AS tpl, occ FROM fin) " +
+        "GROUP BY tpl"),
     "slct_templates" ->
       // SLCT's two counting passes replayed relationally: global (position, word)
       // frequencies ≥ support → per-line abstraction (ordered string_agg) →
