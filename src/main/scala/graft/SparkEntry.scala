@@ -188,6 +188,17 @@ object SparkEntry {
       graft.ael.Ael.mineCatalog(lines, "line")
     }),
 
+    "logcluster_templates" -> ((s, dir) => {
+      // sixth miner (LogCluster: position-independent frequent-word patterns with
+      // *{min,max} gap bounds) — same declarative family as SLCT/IPLoM/AEL, same
+      // 10%-of-rows support so types are frequent and user/value tokens are not
+      val lines = t(s, dir, "events").select(
+        concat(col("event_type"), lit(" u"), col("user_id").cast("string"),
+          lit(" v"), round(col("value") * 100).cast("long").cast("string")).as("line"))
+      graft.logcluster.LogCluster.mineCatalog(lines, "line",
+        support = lines.count() / 10)
+    }),
+
     "log_spell_templates" -> ((s, dir) => {
       // Spell as the PRIMARY miner (reference ships it as a full parser): sequential
       // deterministic mine over a bounded canonical prefix, like its online design.
@@ -608,6 +619,39 @@ object SparkEntry {
         "AS event_template FROM pe LEFT JOIN freq f ON pe.pos1 = f.pos1 AND pe.tok = f.tok GROUP BY lid) " +
         "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, count(*) AS occurrences " +
         "FROM ab GROUP BY event_template HAVING count(*) >= (SELECT sup FROM s)"),
+    "logcluster_templates" ->
+      // LogCluster replayed relationally: line-support word frequencies → running
+      // count assigns gap slots → per-cluster min/max gap bounds (explicit zero
+      // rows keep the min honest) → ordered reassembly
+      ("WITH lines AS (SELECT event_type || ' u' || CAST(user_id AS VARCHAR) || ' v' || " +
+        "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS line FROM events), " +
+        "s AS (SELECT count(*) // 10 AS sup FROM lines), " +
+        "t AS (SELECT row_number() OVER () AS lid, string_split_regex(trim(line), '\\s+') AS toks FROM lines), " +
+        "pe AS (SELECT lid, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM t), " +
+        "freq AS (SELECT tok FROM (SELECT tok, count(DISTINCT lid) AS wf FROM pe GROUP BY tok) " +
+        "WHERE wf >= (SELECT sup FROM s)), " +
+        "mk AS (SELECT pe.lid, pe.pos1, pe.tok, f.tok IS NOT NULL AS isf, " +
+        "sum(CASE WHEN f.tok IS NOT NULL THEN 1 ELSE 0 END) OVER (PARTITION BY pe.lid ORDER BY pe.pos1) AS fseq " +
+        "FROM pe LEFT JOIN freq f ON pe.tok = f.tok), " +
+        "mk2 AS (SELECT *, CASE WHEN isf THEN fseq - 1 ELSE fseq END AS slot FROM mk), " +
+        "keys AS (SELECT lid, coalesce(string_agg(CASE WHEN isf THEN tok END, ' ' ORDER BY pos1), '') AS ckey, " +
+        "CAST(sum(CASE WHEN isf THEN 1 ELSE 0 END) AS BIGINT) AS nfreq FROM mk2 GROUP BY lid), " +
+        "gapc AS (SELECT lid, slot, count(*) AS g FROM mk2 WHERE NOT isf GROUP BY lid, slot), " +
+        "slots AS (SELECT k.lid, k.ckey, u.slot, coalesce(g.g, 0) AS g FROM " +
+        "(SELECT lid, ckey, unnest(range(0, nfreq + 1)) AS slot FROM keys) u " +
+        "JOIN keys k ON u.lid = k.lid LEFT JOIN gapc g ON u.lid = g.lid AND u.slot = g.slot), " +
+        "members AS (SELECT ckey, max(nfreq) AS nfreq, count(DISTINCT lid) AS occurrences FROM keys GROUP BY ckey " +
+        "HAVING count(DISTINCT lid) >= (SELECT sup FROM s)), " +
+        "gb AS (SELECT sl.ckey, sl.slot, min(sl.g) AS mn, max(sl.g) AS mx FROM slots sl " +
+        "WHERE sl.ckey IN (SELECT ckey FROM members) GROUP BY sl.ckey, sl.slot), " +
+        "gp AS (SELECT ckey, slot * 2 AS ord, '*{' || CAST(mn AS VARCHAR) || ',' || CAST(mx AS VARCHAR) || '}' AS piece " +
+        "FROM gb WHERE mx > 0), " +
+        "wp AS (SELECT ckey, generate_subscripts(ws, 1) * 2 - 1 AS ord, unnest(ws) AS piece FROM " +
+        "(SELECT ckey, string_split(ckey, ' ') AS ws FROM members WHERE nfreq > 0)), " +
+        "asm AS (SELECT ckey, string_agg(piece, ' ' ORDER BY ord) AS event_template FROM " +
+        "(SELECT * FROM gp UNION ALL SELECT * FROM wp) GROUP BY ckey) " +
+        "SELECT substr(md5(a.event_template), 1, 8) AS event_id, a.event_template, " +
+        "CAST(m.occurrences AS BIGINT) AS occurrences FROM asm a JOIN members m ON a.ckey = m.ckey"),
     "d_minhash_pairs" ->
       // exact all-pairs shingle Jaccard — LSH's precision is exact (verify stage)
       // and its recall on this corpus is 1.0 (see the query comment), so the
