@@ -167,8 +167,34 @@ object LogStyles {
       f"2024-01-01 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d, $lvl                  CBS    "
     })
 
+  // ---- Linux-syslog-style: OPTIONAL header group `<Component>(\[<PID>\])?:` ----
+  // the reference's Linux/Thunderbird shape — the literal `( … )?` adds an unnamed
+  // capture group, exercising RexCompiler's group-index tracking; roughly half the
+  // lines carry a [pid], the rest (kernel) do not
+  private val linuxTemplates = IndexedSeq(
+    "session opened for user {usr} by uid {num}",
+    "authentication failure for {usr} from {iph}",
+    "connection from {iph} at port {num}",
+    "check pass user unknown",
+    "protocol violation at address {hex}",
+    "out of memory killed process {num}")
+
+  val Linux: StyleSpec = StyleSpec(
+    LogStyle("linux", "<Month> <Date> <Time> <Level> <Component>(\\[<PID>\\])?: <Content>",
+      Seq("(\\d+\\.){3}\\d+", "\\d{2}:\\d{2}:\\d{2}"), st = 0.39, depth = 6),
+    linuxTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 43 + lineNo) % 86400
+      val withPid = pick(mix(h, 44), 2) == 0
+      val comp = if (withPid)
+        IndexedSeq("sshd", "su", "ftpd")(pick(mix(h, 45), 3)) +
+          s"[${1000 + pick(mix(h, 46), 9000)}]"
+      else "kernel"
+      f"Jun 15 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d combo $comp: "
+    })
+
   val all: Seq[StyleSpec] =
-    Seq(Apache, Proxifier, SparkStyle, Zookeeper, OpenSsh, HealthApp, Windows)
+    Seq(Apache, Proxifier, SparkStyle, Zookeeper, OpenSsh, HealthApp, Windows, Linux)
 
   /** Render the content slots for non-HDFS styles. */
   def fillSlots(tpl: String, h0: Long): String = {

@@ -101,8 +101,8 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
     */
   def structure(lines: DataFrame): DataFrame = {
     val g = graft.functions.RegexpExtractGroups(col("line"), cfg.fmt.pattern)
-    val headerCols = cfg.fmt.headers.zipWithIndex.map { case (h, i) =>
-      col("g").getItem(i).as(h)
+    val headerCols = cfg.fmt.headers.zip(cfg.fmt.groupIdx).map { case (h, gi) =>
+      col("g").getItem(gi - 1).as(h)
     }
     val withG = lines.withColumn("g", g).withColumn("parsed", col("g").isNotNull)
     // passthrough: every input column except the raw line and the groups array

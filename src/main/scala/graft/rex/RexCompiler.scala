@@ -20,8 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object RexCompiler {
 
-  final case class CompiledFormat(headers: Seq[String], pattern: String) {
-    def groupIndex(header: String): Int = headers.indexOf(header) + 1
+  /** `groupIdx(i)` is the 1-based REGEX group number of `headers(i)`. The two differ
+    * whenever a literal format segment itself contains capturing parentheses — the
+    * reference's benchmark settings do this for optional headers, e.g. the
+    * Linux/Thunderbird shape `<Component>(\[<PID>\])?: <Content>`, whose `( … )?`
+    * adds an unnamed group. The reference is immune because it compiles NAMED groups
+    * (`(?P<h>.*?)`); Catalyst's `regexp_extract` is positional, so we track the real
+    * group numbers at compile time instead.
+    */
+  final case class CompiledFormat(headers: Seq[String], pattern: String,
+                                  groupIdx: Seq[Int]) {
+    def groupIndex(header: String): Int = groupIdx(headers.indexOf(header))
   }
 
   private val HeaderToken = "<[^<>]+>".r
@@ -32,17 +41,25 @@ object RexCompiler {
   def compile(logFormat: String): CompiledFormat = {
     val sb = new StringBuilder("^")
     val headers = Seq.newBuilder[String]
+    val indices = Seq.newBuilder[Int]
+    var group = 0
     var last = 0
     for (m <- HeaderToken.findAllMatchIn(logFormat)) {
-      if (m.start > last) sb.append(literalPart(logFormat.substring(last, m.start)))
+      if (m.start > last) {
+        val lit = logFormat.substring(last, m.start)
+        sb.append(literalPart(lit))
+        group += capturingGroups(lit)
+      }
       val h = m.matched.stripPrefix("<").stripSuffix(">")
       headers += h
+      group += 1
+      indices += group
       sb.append("(.*?)")
       last = m.end
     }
     if (last < logFormat.length) sb.append(literalPart(logFormat.substring(last)))
     sb.append("$")
-    CompiledFormat(headers.result(), sb.toString)
+    CompiledFormat(headers.result(), sb.toString, indices.result())
   }
 
   /** Literal format text: replace runs of spaces with `\s+` (reference:
@@ -50,10 +67,24 @@ object RexCompiler {
     */
   private def literalPart(s: String): String = s.replaceAll(" +", "\\\\s+")
 
+  /** Capturing groups a literal segment contributes: unescaped `(` not followed by
+    * `?` (non-capturing / lookaround starts with `(?`).
+    */
+  private def capturingGroups(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '(' && (i == 0 || s.charAt(i - 1) != '\\') &&
+        (i + 1 >= s.length || s.charAt(i + 1) != '?')) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** One `regexp_extract` column per header — all codegen'd, no UDF (SURVEY §2.1 S2). */
   def structureColumns(line: Column, fmt: CompiledFormat): Seq[Column] =
-    fmt.headers.zipWithIndex.map { case (h, i) =>
-      regexp_extract(line, fmt.pattern, i + 1).as(h)
+    fmt.headers.zip(fmt.groupIdx).map { case (h, gi) =>
+      regexp_extract(line, fmt.pattern, gi).as(h)
     }
 
   /** A line "matches" the format iff the anchored pattern matches (reference drops

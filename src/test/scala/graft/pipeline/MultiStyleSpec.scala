@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 
 /** The reference's benchmark sweep (E2): one pipeline run per dataset-style config
   * (log_format, rex, st, depth), scored with the evaluator — on synthetic fixtures.
-  * Mirrors `<Algo>/benchmark.py` over our four styles (HDFS covered in PipelineSpec).
+  * Mirrors `<Algo>/benchmark.py` over the styled fixtures in `LogStyles.all`
+  * (HDFS covered in PipelineSpec).
   */
 class MultiStyleSpec extends SparkSuite {
 

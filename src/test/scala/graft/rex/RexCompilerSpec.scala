@@ -18,6 +18,33 @@ class RexCompilerSpec extends AnyFunSuite {
     assert(m.group(f.groupIndex("Content")) == "Received block blk_99")
   }
 
+  test("optional literal group (Linux/Thunderbird shape) keeps header indices aligned") {
+    // the literal `( … )?` contributes an unnamed capture group; the reference is
+    // immune via named groups — we must track real group numbers instead
+    val f = RexCompiler.compile(
+      "<Month> <Date> <Time> <Level> <Component>(\\[<PID>\\])?: <Content>")
+    assert(f.headers == Seq("Month", "Date", "Time", "Level", "Component", "PID", "Content"))
+    assert(f.groupIdx == Seq(1, 2, 3, 4, 5, 7, 8)) // 6 is the optional literal group
+    val p = java.util.regex.Pattern.compile(f.pattern)
+    val m1 = p.matcher("Jun 15 02:04:59 combo sshd[3457]: check pass; user unknown")
+    assert(m1.find())
+    assert(m1.group(f.groupIndex("Component")) == "sshd")
+    assert(m1.group(f.groupIndex("PID")) == "3457")
+    assert(m1.group(f.groupIndex("Content")) == "check pass; user unknown")
+    val m2 = p.matcher("Jun 15 02:04:59 combo kernel: protocol violation")
+    assert(m2.find())
+    assert(m2.group(f.groupIndex("Component")) == "kernel")
+    assert(m2.group(f.groupIndex("PID")) == null) // optional header absent → null
+    assert(m2.group(f.groupIndex("Content")) == "protocol violation")
+  }
+
+  test("escaped parens in a literal are NOT capture groups") {
+    val f = RexCompiler.compile("\\(<A>\\) <B>")
+    assert(f.groupIdx == Seq(1, 2))
+    val m = java.util.regex.Pattern.compile(f.pattern).matcher("(x) y")
+    assert(m.find() && m.group(1) == "x" && m.group(2) == "y")
+  }
+
   test("escaped literal brackets in the format pass through (Apache-style)") {
     val f = RexCompiler.compile("\\[<Time>\\] \\[<Level>\\] <Content>")
     assert(f.headers == Seq("Time", "Level", "Content"))
