@@ -311,6 +311,15 @@ object SparkEntry {
         planes = 12, threshold = 0.99).select(col("id_a"), col("id_b"))
     }),
 
+    "d_components" -> ((s, dir) =>
+      // pairs → clusters: min-label connected components over the LSH near-dup
+      // pair list (the step a real dedup pipeline needs before keeping one doc per
+      // cluster); oracled against a DuckDB recursive CTE over the exact pair set
+      Dedup.connectedComponents(
+        Dedup.minhashDupPairs(docsWithDups(s, dir), "doc_id", "text",
+          k = 3, numHashes = 64, bands = 16, threshold = 0.9))
+        .select(col("id"), col("component"))),
+
     "td_pipeline" -> ((s, dir) => {
       // the training-data pipeline composed end-to-end: quality gate → exact dedup
       // → per-language doc/token budget (all stages individually oracled)
@@ -681,6 +690,20 @@ object SparkEntry {
         "k AS (SELECT doc_id, array_to_string(list_transform(range(1, 65), i -> " +
         "CASE WHEN 2 * len(list_filter(bs, b -> b[i] = '1')) > len(bs) THEN '1' ELSE '0' END), '') AS key FROM bits) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id"),
+    "d_components" ->
+      // recursive CTE label propagation: r holds every (node, reachable label);
+      // min per node = smallest id in the component — same canonical rule as the
+      // iterative Spark path
+      ("WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+        "ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')) END) AS s " +
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM docs)), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
+        "AND len(list_intersect(a.s, b.s))::DOUBLE / GREATEST(len(list_distinct(a.s || b.s)), 1) >= 0.9), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+        "r AS (SELECT src AS id, src AS comp FROM e UNION SELECT e.dst, r.comp FROM r JOIN e ON r.id = e.src) " +
+        "SELECT id, min(comp) AS component FROM r GROUP BY id"),
     "d_jaccard_pairs" ->
       ("WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100 " +
         "UNION ALL SELECT doc_id + 100000, text || ' zzappended' FROM documents " +

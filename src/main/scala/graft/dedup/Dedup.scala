@@ -269,6 +269,54 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- pair list → clusters --------------------------------------------------
+
+  /** Connected components over an undirected pair list `(id_a, id_b)` — the step
+    * that turns near-dup PAIRS into dedup CLUSTERS (keep `min(id)` per component,
+    * the same canonical-survivor rule as [[exactDedup]]).
+    *
+    * Iterative min-label propagation: each round every node takes the min of its
+    * own label and its neighbors' labels — one shuffle (equi-join on the edge key)
+    * plus one aggregation per round, converging in O(component diameter) rounds.
+    * Near-dup graphs are unions of small dense clusters, so the diameter is tiny;
+    * `maxIters` bounds the worst case and the loop exits early on a fixpoint (one
+    * cheap `isEmpty` per round — driver-side control flow only, labels never
+    * collected). Each round's label table is `localCheckpoint`ed: persisting alone
+    * caches the DATA but the logical plan still accumulates per round, and
+    * Catalyst's analysis of a 10-deep join-on-union lineage takes minutes —
+    * checkpointing truncates the plan so every round optimizes a constant-size
+    * query (on a cluster, swap in reliable `checkpoint` with a checkpoint dir for
+    * executor-loss tolerance).
+    *
+    * Output: `(id, component)` where `component` is the smallest id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val next = labels.unionByName(
+          edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+            .select(col("dst").as("id"), col("component")))
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ---- embedding near-dup ----------------------------------------------------
 
   /** Embedding cosine near-dup pairs via random-hyperplane LSH buckets (deterministic

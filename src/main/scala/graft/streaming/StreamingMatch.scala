@@ -75,6 +75,43 @@ object StreamingMatch {
       }
   }
 
+  /** Streaming template DISCOVERY — online Drain as streaming state
+    * (`flatMapGroupsWithState`), complementing the frozen-catalog match path.
+    *
+    * Keyed by token count, Drain's OWN first tree layer: every template belongs to
+    * exactly one length group, so groups never need merging and the per-group state
+    * is an independent [[graft.drain.DrainTree]] (java-serialized, the same codec
+    * the Aggregator buffer uses; state size is O(#templates in the group), not
+    * O(rows)). Each micro-batch folds its lines into the tree and re-emits the
+    * group's current catalog — the evolving templates table in Update mode.
+    *
+    * Determinism contract matches [[graft.drain.DrainAggregator]]: online Drain is
+    * arrival-order dependent, so the catalog is PA-grade reproducible; the batch
+    * sequential miner remains the bit-exact oracle.
+    */
+  def streamingMine(pages: DataFrame, cfg: PipelineConfig): Dataset[graft.drain.TemplateRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val p = new LogPipeline(cfg)
+    val lines = pages.select(col("url"),
+      posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+    val masked = p.withMasked(p.structure(lines))
+      .filter(col("parsed")).select("masked").as[String]
+      .map(graft.rex.RexCompiler.tokenize)
+    implicit val treeEnc: org.apache.spark.sql.Encoder[graft.drain.DrainTree] =
+      org.apache.spark.sql.Encoders.javaSerialization[graft.drain.DrainTree]
+    masked.groupByKey(_.length)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[Array[String]], state: GroupState[graft.drain.DrainTree]) =>
+          val tree = state.getOption.getOrElse(
+            new graft.drain.DrainTree(cfg.depth, cfg.st, cfg.maxChild))
+          rows.foreach(tree.add)
+          state.update(tree)
+          tree.catalog().iterator
+            .map { case (id, tpl, n) => graft.drain.TemplateRow(id, tpl, n) }
+      }
+  }
+
   /** Streaming routed sink: the per-template-cluster fan-out as an exactly-once
     * parquet file sink (`partitionBy(event_id)`), checkpointed. Restarting a query
     * with the SAME checkpointLocation resumes from the last committed micro-batch —

@@ -169,6 +169,21 @@ class OpsSpec extends SparkSuite {
     assert(one == expect)
   }
 
+  test("dedup: connected components turn pair lists into min-label clusters") {
+    // a 3-path, a 3-clique and an isolated pair; then a 10-chain to exercise
+    // multi-round propagation + fixpoint early-exit
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val chain = (0 until 9).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val c2 = Dedup.connectedComponents(chain, maxIters = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(c2 == (0 to 9).map(i => (i.toLong, 0L)).toMap)
+  }
+
   test("ann: cosine + brute-force top-k on known vectors") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),

@@ -90,4 +90,59 @@ class StreamingSpec extends SparkSuite {
     assert(fsDirs.exists(_.startsWith("event_id=")))
     assert(fsDirs.contains("_spark_metadata"))
   }
+
+  test("streaming mine: flatMapGroupsWithState state accumulates the evolving catalog") {
+    import spark.implicits._
+    // distinct first tokens per template within each length ⇒ online Drain lands
+    // them on different tree leaves for ANY arrival order, so the final catalog is
+    // exact, not merely PA-grade — the test isolates the streaming-state mechanics
+    val mcfg = PipelineConfig("<Content>", Seq("\\d+"), st = 0.4, depth = 4)
+    val rows = (0 until 30).map { i =>
+      val ls = Seq(s"start job $i", s"finish job ${i * 7}") ++
+        (if (i % 3 == 0) Seq("conn peer reset now") else Nil)
+      (s"https://x/$i", new java.sql.Timestamp(1000L * i),
+        Array[Byte](1), ls.mkString("\n"), "en")
+    }
+    val df = rows.toDF("url", "warc_ts", "html", "text", "lang")
+    val dir = Files.createTempDirectory("graft_stream_mine").toString
+    val ckpt = Files.createTempDirectory("graft_stream_mine_ckpt").toString
+
+    val emissions =
+      scala.collection.mutable.ArrayBuffer[(Long, Seq[(String, String, Long)])]()
+    def start() = StreamingMatch
+      .streamingMine(StreamingMatch.readPages(spark, dir), mcfg)
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.drain.TemplateRow], id: Long) =>
+        val rows = b.collect().map(r => (r.event_id, r.event_template, r.occurrences)).toSeq
+        emissions.synchronized { emissions += ((id, rows)) }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // batch 1: single-digit pages; batch 2: the rest — state must carry over
+    df.filter(col("url").rlike("/\\d$")).write.mode("append").parquet(dir)
+    val q = start()
+    q.processAllAvailable()
+    df.filter(col("url").rlike("/\\d\\d$")).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val nonEmpty = emissions.filter(_._2.nonEmpty).sortBy(_._1)
+    assert(nonEmpty.size >= 2, s"expected 2 micro-batches, got $emissions")
+    // final catalog = last emission per length group (a group re-emits whole state)
+    val latest = nonEmpty.flatMap { case (id, rs) => rs.map(r => (id, r)) }
+      .groupBy { case (_, (_, tpl, _)) => tpl.split(" ").length }
+      .map { case (_, es) =>
+        val lastId = es.map(_._1).max
+        es.filter(_._1 == lastId).map(_._2)
+      }.flatten.toSet
+    assert(latest == Set(
+      (graft.drain.DrainTree.eventId("start job <*>"), "start job <*>", 30L),
+      (graft.drain.DrainTree.eventId("finish job <*>"), "finish job <*>", 30L),
+      (graft.drain.DrainTree.eventId("conn peer reset now"), "conn peer reset now", 10L)))
+    // the first batch's counts are the 10-page prefix — state genuinely grew
+    val first = nonEmpty.head._2.map { case (_, tpl, n) => (tpl, n) }.toMap
+    assert(first("start job <*>") == 10L && first("conn peer reset now") == 4L)
+  }
 }
