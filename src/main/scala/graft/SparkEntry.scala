@@ -333,6 +333,21 @@ object SparkEntry {
           sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
     }),
 
+    "td_stratified_sample" -> ((s, dir) =>
+      // deterministic hash-stratified sampling (curation primitive): kept set is a
+      // pure function of content hash + per-stratum fraction, reproducible across
+      // engines/layouts — the oracle replays the same md5 arithmetic
+      graft.sample.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id",
+        "lang", Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1))
+        .select("doc_id", "lang")),
+    "td_budget_sample" -> ((s, dir) =>
+      // per-language token budget: hash-ordered running total <= budget
+      graft.sample.Sampling.tokenBudgetSample(
+        t(s, dir, "documents").withColumn("n_tokens",
+          TextOps.tokenCount(col("text")).cast("long")),
+        "doc_id", "lang", "n_tokens", budget = 5000L)
+        .select("doc_id")),
+
     // ---------- similarity search --------------------------------------------
     "ann_brute_topk" -> ((s, dir) => {
       // embeddings cast to double BEFORE scoring: the DuckDB oracle computes in
@@ -713,6 +728,22 @@ object SparkEntry {
         "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM docs)) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
         "AND len(list_intersect(a.s, b.s))::DOUBLE / GREATEST(len(list_distinct(a.s || b.s)), 1) >= 0.5"),
+    "td_stratified_sample" ->
+      // same md5-hex → uint32 arithmetic; bounds are floor(fraction · 2^32)
+      ("WITH hk AS (SELECT doc_id, lang, list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(list_filter(regexp_split_to_array(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''), x -> x != ''), " +
+        "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), (a, c) -> a * 16 + c) AS h FROM documents), " +
+        "b(lang, hb) AS (VALUES ('en', 2147483648), ('es', 1073741824), ('de', 429496729)) " +
+        "SELECT hk.doc_id, hk.lang FROM hk JOIN b ON hk.lang = b.lang WHERE hk.h < b.hb"),
+    "td_budget_sample" ->
+      ("WITH d AS (SELECT doc_id, lang, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens, " +
+        "list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(list_filter(regexp_split_to_array(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''), x -> x != ''), " +
+        "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), (a, c) -> a * 16 + c) AS h FROM documents), " +
+        "r AS (SELECT doc_id, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d) " +
+        "SELECT doc_id FROM r WHERE run <= 5000"),
     "ann_brute_topk" ->
       ("WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) " +
         "SELECT vec_id AS id, round(score, 4) AS score4 FROM (" +

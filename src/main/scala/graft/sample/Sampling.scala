@@ -1,0 +1,53 @@
+package graft.sample
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation. Both are
+  * engine-reproducible by construction (the decision rule is pure arithmetic over
+  * md5, so the DuckDB oracles replay it exactly) — the property a 100 TB corpus
+  * pipeline needs so that a re-run, a backfill, or a second engine selects the
+  * SAME documents. Spark's own `sample()` is seed-deterministic only per
+  * partitioning, which reshuffles under repartition; a content-hash rule is stable
+  * under any layout.
+  */
+object Sampling {
+
+  /** Uniform 32-bit hash key from a row id: first 8 hex chars of md5. */
+  private def hashKey(idCol: String) =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Hash-stratified sampling: a row is kept iff its 32-bit content hash falls
+    * below `fraction(stratum) · 2^32`. No shuffle — the decision is a per-row
+    * expression plus one broadcast join for the per-stratum fractions; strata
+    * missing from the map are dropped (fraction 0).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = fractions.toSeq
+      .map { case (s, f) => (s, (f * 4294967296.0).toLong) }
+      .toDF(stratumCol, "hash_bound")
+    df.join(broadcast(bounds), Seq(stratumCol))
+      .filter(hashKey(idCol) < col("hash_bound"))
+      .drop("hash_bound")
+  }
+
+  /** Per-stratum token budget: rows are ordered by content hash inside each
+    * stratum (a deterministic, unbiased order) and kept while the running token
+    * total stays within `budget` — the "N tokens per language" curation step. One
+    * shuffle (the window partition); at 10^12 rows the stratum is the natural
+    * partition key and skew is bounded by the language mix.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(hashKey(idCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("running_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("running_tokens") <= budget)
+      .drop("running_tokens")
+  }
+}

@@ -87,6 +87,26 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("band"), plan) // join keyed on the LSH band columns
   }
 
+  test("declarative miners: no cartesian products, broadcast where intended") {
+    import spark.implicits._
+    val lines = (0 until 400).map(i => s"evt type${i % 3} user$i done").toDF("line")
+    val iplom = graft.iplom.Iplom.mineTemplates(lines, "line")
+      .queryExecution.executedPlan.toString
+    assert(!iplom.contains("CartesianProduct"), iplom)
+    // the per-partition split table is broadcast back onto rows, never shuffled
+    assert(iplom.contains("BroadcastHashJoin"), iplom)
+    val slct = graft.slct.Slct.mineTemplates(lines, "line", 50)
+      .queryExecution.executedPlan.toString
+    assert(!slct.contains("CartesianProduct"), slct)
+    assert(slct.contains("BroadcastHashJoin"), slct) // frequent-pair set is broadcast
+    val ael = graft.ael.Ael.mineTemplates(lines, "line")
+      .queryExecution.executedPlan.toString
+    assert(!ael.contains("CartesianProduct"), ael)
+    val lc = graft.logcluster.LogCluster.mineTemplates(lines, "line", 50)
+      .queryExecution.executedPlan.toString
+    assert(!lc.contains("CartesianProduct"), lc)
+  }
+
   test("approx_count_distinct (the 10^12-scale metrics stat) lands within 10% of exact") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val r = li.agg(count_distinct(col("l_orderkey")).as("exact"),
