@@ -333,6 +333,27 @@ object SparkEntry {
           sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
     }),
 
+    "td_pipeline_full" -> ((s, dir) => {
+      // the whole curation pipeline, every stage oracled: quality gate → exact
+      // dedup → LSH near-dup pairs → connected-components keep-min → per-language
+      // token budget → corpus stats. The DuckDB oracle replays all six stages.
+      val scored = t(s, dir, "documents")
+        .withColumn("q", TextOps.qualityScoreMilli(col("text")))
+        .withColumn("pred_lang", TextOps.langId(col("text")))
+        .filter(col("q") >= 30000)
+      val exact = Dedup.exactDedup(scored, "doc_id", "text")
+      val pairs = Dedup.minhashDupPairs(exact, "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.9)
+      val losers = Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("component")).select(col("id").as("doc_id"))
+      val kept = exact.join(losers, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+      graft.sample.Sampling.tokenBudgetSample(kept, "doc_id", "pred_lang",
+          "n_tokens", budget = 20000L)
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    }),
+
     "td_stratified_sample" -> ((s, dir) =>
       // deterministic hash-stratified sampling (curation primitive): kept set is a
       // pure function of content hash + per-stratum fraction, reproducible across
@@ -728,6 +749,34 @@ object SparkEntry {
         "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM docs)) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
         "AND len(list_intersect(a.s, b.s))::DOUBLE / GREATEST(len(list_distinct(a.s || b.s)), 1) >= 0.5"),
+    "td_pipeline_full" ->
+      // all six stages replayed: quality+langid gate, exact dedup (min doc per
+      // md5), exact Jaccard≥0.9 pairs (= the LSH+verify result, recall 1.0 on
+      // this corpus), recursive-CTE components, keep-min survivors, hash-ordered
+      // token budget window, final per-language stats
+      (s"WITH RECURSIVE scored AS (SELECT d.doc_id, d.text, $qualityExpr AS q, l.pred_lang " +
+        s"FROM documents d JOIN ($langIdSubquery) l ON d.doc_id = l.doc_id), " +
+        "filtered AS (SELECT * FROM scored WHERE q >= 30000), " +
+        "kept0 AS (SELECT * FROM filtered WHERE doc_id IN " +
+        "(SELECT min(doc_id) FROM filtered GROUP BY md5(text))), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+        "ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')) END) AS s " +
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM kept0)), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
+        "AND len(list_intersect(a.s, b.s))::DOUBLE / GREATEST(len(list_distinct(a.s || b.s)), 1) >= 0.9), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+        "r AS (SELECT src AS id, src AS comp FROM e UNION SELECT e.dst, r.comp FROM r JOIN e ON r.id = e.src), " +
+        "losers AS (SELECT id FROM (SELECT id, min(comp) AS component FROM r GROUP BY id) WHERE id != component), " +
+        "kept AS (SELECT doc_id, pred_lang, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens, " +
+        "list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(list_filter(regexp_split_to_array(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''), x -> x != ''), " +
+        "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), (a, c) -> a * 16 + c) AS h " +
+        "FROM kept0 WHERE doc_id NOT IN (SELECT id FROM losers)), " +
+        "rr AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY pred_lang ORDER BY h, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM kept) " +
+        "SELECT pred_lang, count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens " +
+        "FROM rr WHERE run <= 20000 GROUP BY pred_lang"),
     "td_stratified_sample" ->
       // same md5-hex → uint32 arithmetic; bounds are floor(fraction · 2^32)
       ("WITH hk AS (SELECT doc_id, lang, list_reduce(list_prepend(0::BIGINT, " +
