@@ -169,9 +169,12 @@ object SparkEntry {
       // counting passes), also DuckDB-provable; support = 10% of rows so the same
       // construction separates frequent event types from rare user/value tokens
       // at every sf
+      // persisted: the support count and the mine's two passes read one cached
+      // materialization instead of scanning events three times
       val lines = t(s, dir, "events").select(
         concat(col("event_type"), lit(" u"), col("user_id").cast("string"),
           lit(" v"), round(col("value") * 100).cast("long").cast("string")).as("line"))
+        .persist()
       graft.slct.Slct.mineCatalog(lines, "line", support = lines.count() / 10)
     }),
 
@@ -195,6 +198,7 @@ object SparkEntry {
       val lines = t(s, dir, "events").select(
         concat(col("event_type"), lit(" u"), col("user_id").cast("string"),
           lit(" v"), round(col("value") * 100).cast("long").cast("string")).as("line"))
+        .persist()
       graft.logcluster.LogCluster.mineCatalog(lines, "line",
         support = lines.count() / 10)
     }),
@@ -595,7 +599,7 @@ object SparkEntry {
         "th AS (SELECT doc_id, list_transform(ts, t -> list_reduce(" +
         "list_prepend(14695981039346656037::HUGEINT, " +
         "list_transform(list_filter(regexp_split_to_array(t, ''), x -> x != ''), c -> unicode(c)::HUGEINT)), " +
-        "(acc, c) -> ((acc - (acc % 65536) + xor((acc % 65536)::BIGINT, c::BIGINT)::HUGEINT) " +
+        "(acc, c) -> ((acc - (acc % 65536) + xor((acc % 65536)::BIGINT, (c % 65536)::BIGINT)::HUGEINT) " +
         "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hs FROM toks) " +
         "SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT " +
         "THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS rfp " +
@@ -720,7 +724,7 @@ object SparkEntry {
         "th AS (SELECT doc_id, list_transform(ts, t -> list_reduce(" +
         "list_prepend(14695981039346656037::HUGEINT, " +
         "list_transform(list_filter(regexp_split_to_array(t, ''), x -> x != ''), c -> unicode(c)::HUGEINT)), " +
-        "(acc, c) -> ((acc - (acc % 65536) + xor((acc % 65536)::BIGINT, c::BIGINT)::HUGEINT) " +
+        "(acc, c) -> ((acc - (acc % 65536) + xor((acc % 65536)::BIGINT, (c % 65536)::BIGINT)::HUGEINT) " +
         "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hs FROM toks), " +
         "bits AS (SELECT doc_id, list_transform(hs, u -> lpad(bin(u), 64, '0')) AS bs FROM th), " +
         "k AS (SELECT doc_id, array_to_string(list_transform(range(1, 65), i -> " +

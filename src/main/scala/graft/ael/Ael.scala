@@ -86,7 +86,5 @@ object Ael {
 
   /** [[mineTemplates]] plus the engine's md5-prefix event id. */
   def mineCatalog(lines: DataFrame, lineCol: String): DataFrame =
-    mineTemplates(lines, lineCol)
-      .select(substring(md5(col("event_template")), 1, 8).as("event_id"),
-        col("event_template"), col("occurrences"))
+    graft.miner.MinerOutput.withEventId(mineTemplates(lines, lineCol))
 }

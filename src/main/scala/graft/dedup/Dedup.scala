@@ -232,8 +232,17 @@ object Dedup {
       val counts = new Array[Int](64)
       toks.foreach { t =>
         var h = -3750763034362895579L // FNV-1a 64 offset basis (unsigned 14695981039346656037)
+        // CODEPOINT iteration with a low-16-bit mask — DuckDB's regexp_split('')
+        // yields codepoints, so UTF-16-unit iteration would diverge on astral
+        // chars, and an unmasked codepoint (> 0xFFFF) would corrupt the oracle's
+        // low-16 XOR emulation. Identical to the old char loop for BMP text.
         var i = 0
-        while (i < t.length) { h ^= t.charAt(i).toLong; h *= 1099511628211L; i += 1 }
+        while (i < t.length) {
+          val cp = t.codePointAt(i)
+          h ^= (cp & 0xFFFF).toLong
+          h *= 1099511628211L
+          i += Character.charCount(cp)
+        }
         var j = 0
         while (j < 64) { if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1; j += 1 }
       }
@@ -279,18 +288,25 @@ object Dedup {
     * own label and its neighbors' labels — one shuffle (equi-join on the edge key)
     * plus one aggregation per round, converging in O(component diameter) rounds.
     * Near-dup graphs are unions of small dense clusters, so the diameter is tiny;
-    * `maxIters` bounds the worst case and the loop exits early on a fixpoint (one
-    * cheap `isEmpty` per round — driver-side control flow only, labels never
-    * collected). Each round's label table is `localCheckpoint`ed: persisting alone
-    * caches the DATA but the logical plan still accumulates per round, and
-    * Catalyst's analysis of a 10-deep join-on-union lineage takes minutes —
-    * checkpointing truncates the plan so every round optimizes a constant-size
-    * query (on a cluster, swap in reliable `checkpoint` with a checkpoint dir for
-    * executor-loss tolerance).
+    * the loop exits early on a fixpoint (one cheap `isEmpty` per round —
+    * driver-side control flow only, labels never collected), and THROWS if
+    * `maxIters` rounds were not enough: a silently non-converged result would keep
+    * several "survivors" per cluster and fail the oracles downstream — fail-stop
+    * beats silently wrong; raise `maxIters` for pathological long-chain graphs.
+    *
+    * Each round's label table is `localCheckpoint`ed: persisting alone caches the
+    * DATA but the logical plan still accumulates per round, and Catalyst's
+    * analysis of a 10-deep join-on-union lineage takes minutes — checkpointing
+    * truncates the plan so every round optimizes a constant-size query. Note
+    * `Dataset.unpersist` does NOT release localCheckpoint blocks (they are not
+    * CacheManager entries); superseded rounds' blocks are freed by the
+    * ContextCleaner once unreferenced, so at most a few O(#nodes) label tables
+    * are alive between GCs. On a cluster, swap in reliable `checkpoint` with a
+    * checkpoint dir for executor-loss tolerance.
     *
     * Output: `(id, component)` where `component` is the smallest id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -309,11 +325,14 @@ object Dedup {
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("component", "prev"), Seq("id"))
         .filter(col("component") =!= col("prev")).isEmpty
-      labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — the pair graph " +
+          "has a component of diameter > maxIters; raise maxIters")
     labels
   }
 

@@ -31,10 +31,7 @@ object LogCluster {
 
   /** Mine: (event_template, occurrences) with occurrences ≥ support. */
   def mineTemplates(lines: DataFrame, lineCol: String, support: Long): DataFrame = {
-    val pe = lines
-      .select(monotonically_increasing_id().as("lid"),
-        split(trim(col(lineCol)), "\\s+").as("toks"))
-      .select(col("lid"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val pe = graft.miner.MinerOutput.explodedTokens(lines, lineCol)
 
     // support = lines containing the word (distinct lid), the paper's definition
     val freq = pe.groupBy("tok")
@@ -44,11 +41,19 @@ object LogCluster {
 
     // slot of a token = number of frequent words at positions <= pos (so an
     // infrequent token between frequent words k and k+1 lands in slot k; tokens
-    // before the first frequent word land in slot 0)
+    // before the first frequent word land in slot 0).
+    // localCheckpoint is CORRECTNESS-bearing here, not an optimization: `lid`
+    // comes from monotonically_increasing_id, and `marked` feeds THREE branches
+    // (keys, gapCounts, slots) that join back on lid — without materialization
+    // each branch re-evaluates the id assignment, and a task retry / AQE re-plan
+    // could give the same line different lids in different branches, silently
+    // joining gap counts onto the wrong lines. Freezing one evaluation makes lid
+    // a stable key (executor loss then fails the job — fail-stop, never wrong).
     val w = Window.partitionBy("lid").orderBy("pos")
     val marked = pe.join(broadcast(freq), Seq("tok"), "left")
       .withColumn("fseq", sum(when(col("is_freq").isNotNull, 1L).otherwise(0L)).over(w))
       .withColumn("slot", when(col("is_freq").isNotNull, col("fseq") - 1).otherwise(col("fseq")))
+      .localCheckpoint(true)
 
     // per line: the cluster key (ordered frequent words) and n = |key|
     val keys = marked
@@ -99,7 +104,5 @@ object LogCluster {
 
   /** [[mineTemplates]] plus the engine's md5-prefix event id. */
   def mineCatalog(lines: DataFrame, lineCol: String, support: Long): DataFrame =
-    mineTemplates(lines, lineCol, support)
-      .select(substring(md5(col("event_template")), 1, 8).as("event_id"),
-        col("event_template"), col("occurrences"))
+    graft.miner.MinerOutput.withEventId(mineTemplates(lines, lineCol, support))
 }

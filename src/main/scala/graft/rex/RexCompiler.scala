@@ -30,7 +30,11 @@ object RexCompiler {
     */
   final case class CompiledFormat(headers: Seq[String], pattern: String,
                                   groupIdx: Seq[Int]) {
-    def groupIndex(header: String): Int = groupIdx(headers.indexOf(header))
+    def groupIndex(header: String): Int = {
+      val i = headers.indexOf(header)
+      require(i >= 0, s"header <$header> is not in this format (headers: $headers)")
+      groupIdx(i)
+    }
   }
 
   private val HeaderToken = "<[^<>]+>".r
@@ -67,15 +71,26 @@ object RexCompiler {
     */
   private def literalPart(s: String): String = s.replaceAll(" +", "\\\\s+")
 
-  /** Capturing groups a literal segment contributes: unescaped `(` not followed by
-    * `?` (non-capturing / lookaround starts with `(?`).
+  /** Capturing groups a literal segment contributes, per Java regex numbering:
+    * an unescaped `(` outside a character class counts unless it starts a `(?…)`
+    * construct (non-capturing group, inline flags, lookaround). Escapes (`\(`,
+    * `\[`) and `[…]` classes are tracked so a literal paren inside a class never
+    * shifts header indices. Named groups `(?<name>…)` need no case here: the
+    * header tokenizer consumes `<name>` as a header first (upstream's splitter
+    * does the same), so the sequence can never reach a literal segment intact.
     */
   private def capturingGroups(s: String): Int = {
     var n = 0
     var i = 0
+    var inClass = false
     while (i < s.length) {
-      if (s.charAt(i) == '(' && (i == 0 || s.charAt(i - 1) != '\\') &&
-        (i + 1 >= s.length || s.charAt(i + 1) != '?')) n += 1
+      val c = s.charAt(i)
+      if (c == '\\') i += 1
+      else if (inClass) { if (c == ']') inClass = false }
+      else if (c == '[') inClass = true
+      else if (c == '(') {
+        if (i + 1 >= s.length || s.charAt(i + 1) != '?') n += 1
+      }
       i += 1
     }
     n

@@ -31,10 +31,10 @@ object Slct {
 
   /** Mine the cluster catalog: (event_template, occurrences), occurrences ≥ support. */
   def mineTemplates(lines: DataFrame, lineCol: String, support: Long): DataFrame = {
-    val pe = lines
-      .select(monotonically_increasing_id().as("lid"),
-        split(trim(col(lineCol)), "\\s+").as("toks"))
-      .select(col("lid"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    // lid stays inside ONE lineage here (only the abstraction branch groups by
+    // it; the freq branch never touches lid), so no materialization is needed —
+    // contrast LogCluster, where lid crosses branches
+    val pe = graft.miner.MinerOutput.explodedTokens(lines, lineCol)
     val freq = pe.groupBy("pos", "tok")
       .agg(count(lit(1)).as("wf"))
       .filter(col("wf") >= support)
@@ -53,7 +53,5 @@ object Slct {
 
   /** [[mineTemplates]] plus the engine's md5-prefix event id. */
   def mineCatalog(lines: DataFrame, lineCol: String, support: Long): DataFrame =
-    mineTemplates(lines, lineCol, support)
-      .select(substring(md5(col("event_template")), 1, 8).as("event_id"),
-        col("event_template"), col("occurrences"))
+    graft.miner.MinerOutput.withEventId(mineTemplates(lines, lineCol, support))
 }

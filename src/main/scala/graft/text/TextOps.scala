@@ -102,8 +102,16 @@ object TextOps {
       var h = 1469598103934665603L
       text.trim.split("\\s+").foreach { t =>
         var th = -3750763034362895579L // FNV offset basis
+        // codepoints, masked to 16 bits — keeps the DuckDB HUGEINT oracle
+        // (which folds codepoints) bit-identical even for astral chars;
+        // unchanged for BMP text
         var i = 0
-        while (i < t.length) { th ^= t.charAt(i).toLong; th *= 1099511628211L; i += 1 }
+        while (i < t.length) {
+          val cp = t.codePointAt(i)
+          th ^= (cp & 0xFFFF).toLong
+          th *= 1099511628211L
+          i += Character.charCount(cp)
+        }
         h = h * 1099511628211L + th
       }
       h

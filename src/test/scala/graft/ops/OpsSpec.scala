@@ -182,6 +182,12 @@ class OpsSpec extends SparkSuite {
     val c2 = Dedup.connectedComponents(chain, maxIters = 20)
       .as[(Long, Long)].collect().toMap
     assert(c2 == (0 to 9).map(i => (i.toLong, 0L)).toMap)
+    // fail-stop contract: a diameter > maxIters graph must throw, not return a
+    // silently-wrong labeling
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 3).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("ann: cosine + brute-force top-k on known vectors") {

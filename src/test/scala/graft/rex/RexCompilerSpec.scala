@@ -45,6 +45,25 @@ class RexCompilerSpec extends AnyFunSuite {
     assert(m.find() && m.group(1) == "x" && m.group(2) == "y")
   }
 
+  test("group counting: paren inside a character class, lookbehind, unknown header") {
+    // [(] is a literal paren, not a group
+    val cls = RexCompiler.compile("<A>[(]<B>")
+    assert(cls.groupIdx == Seq(1, 2))
+    val m1 = java.util.regex.Pattern.compile(cls.pattern).matcher("x(y")
+    assert(m1.find() && m1.group(cls.groupIndex("A")) == "x" &&
+      m1.group(cls.groupIndex("B")) == "y")
+    // lookbehind (?<=…) is NOT numbered (and has no '>' so it survives as literal)
+    val lb = RexCompiler.compile("<A>(?<=x)<B>")
+    assert(lb.groupIdx == Seq(1, 2))
+    // a would-be named group cannot reach a literal: <sep> is tokenized as a
+    // header (upstream's splitter behaves identically)
+    val named = RexCompiler.compile("<A>(?<sep>-|:)<B>")
+    assert(named.headers == Seq("A", "sep", "B") && named.groupIdx == Seq(1, 2, 3))
+    // unknown header is a clear error, not IndexOutOfBounds(-1)
+    val err = intercept[IllegalArgumentException](cls.groupIndex("Nope"))
+    assert(err.getMessage.contains("<Nope>"))
+  }
+
   test("escaped literal brackets in the format pass through (Apache-style)") {
     val f = RexCompiler.compile("\\[<Time>\\] \\[<Level>\\] <Content>")
     assert(f.headers == Seq("Time", "Level", "Content"))
