@@ -118,6 +118,28 @@ object Dedup {
                       numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.7,
                       maxBucketSize: Int = 10000): DataFrame = {
+    val (verified, staged) = minhashDupPairsPlan(df, idCol, textCol, k, numHashes,
+      bands, threshold, maxBucketSize)
+    // Materialize the (small) verified-pairs result EAGERLY so the two staged
+    // caches can be released before returning — round 2 leaked both relations
+    // for the session lifetime on every call (ADVICE r2). localCheckpoint blocks
+    // are ContextCleaner-collected when the returned frame is GC'd, unlike
+    // CacheManager entries, and downstream consumers (connected components)
+    // were re-scanning the lazy plan per iteration anyway.
+    val out = verified.localCheckpoint(true)
+    staged.foreach(_.unpersist())
+    out
+  }
+
+  /** The lazy plan behind [[minhashDupPairs]], plus the staged (persisted)
+    * relations the caller must unpersist after its final action. Exposed so plan
+    * tests can assert the join shape (the public entry point checkpoints eagerly,
+    * which hides the plan behind an ExistingRDD scan).
+    */
+  def minhashDupPairsPlan(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+                          numHashes: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.7,
+                          maxBucketSize: Int = 10000): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     // Two explicit materialization points — NOT optional: Catalyst's CollapseProject
     // inlines unpersisted intermediate columns into every downstream branch, so
@@ -144,12 +166,13 @@ object Dedup {
     val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cand
+    val verified = cand
       .join(hashed.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (verified, Seq(hashed, banded))
   }
 
   /** Band buckets [[minhashDupPairs]] would skip at `maxBucketSize` — the count+log

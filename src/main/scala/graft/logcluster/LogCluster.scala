@@ -31,7 +31,13 @@ object LogCluster {
 
   /** Mine: (event_template, occurrences) with occurrences ≥ support. */
   def mineTemplates(lines: DataFrame, lineCol: String, support: Long): DataFrame = {
+    // Empty tokens (only possible from all-blank lines: split of a trimmed line
+    // on \s+ can't otherwise yield "") are dropped up front — a frequent ""
+    // would collapse ambiguously in the space-joined cluster key and diverge
+    // from the SQL oracle's grouping (round-3 ADVICE fix). Blank lines thus
+    // contribute no tokens and fall out of clustering entirely.
     val pe = graft.miner.MinerOutput.explodedTokens(lines, lineCol)
+      .filter(col("tok") =!= "")
 
     // support = lines containing the word (distinct lid), the paper's definition
     val freq = pe.groupBy("tok")
@@ -42,13 +48,11 @@ object LogCluster {
     // slot of a token = number of frequent words at positions <= pos (so an
     // infrequent token between frequent words k and k+1 lands in slot k; tokens
     // before the first frequent word land in slot 0).
-    // localCheckpoint is CORRECTNESS-bearing here, not an optimization: `lid`
-    // comes from monotonically_increasing_id, and `marked` feeds THREE branches
-    // (keys, gapCounts, slots) that join back on lid — without materialization
-    // each branch re-evaluates the id assignment, and a task retry / AQE re-plan
-    // could give the same line different lids in different branches, silently
-    // joining gap counts onto the wrong lines. Freezing one evaluation makes lid
-    // a stable key (executor loss then fails the job — fail-stop, never wrong).
+    // localCheckpoint is an OPTIMIZATION here (since round 3 lid is a stable
+    // content-derived key — MinerOutput.explodedTokens — so re-evaluation across
+    // branches is safe): `marked` feeds THREE branches (keys, gapCounts, slots)
+    // and materializing one evaluation avoids recomputing the parse + window
+    // three times.
     val w = Window.partitionBy("lid").orderBy("pos")
     val marked = pe.join(broadcast(freq), Seq("tok"), "left")
       .withColumn("fseq", sum(when(col("is_freq").isNotNull, 1L).otherwise(0L)).over(w))

@@ -70,11 +70,18 @@ object ResumableRunner {
     * filtering the full input per chunk — round 1 scanned the whole corpus nChunks
     * times. At cluster scale this dir layout is the Iceberg partition spec.
     */
-  def chunkedInputDir(outDir: String) = s"$outDir/input_by_chunk"
+  /** Params are ENCODED IN THE DIRECTORY NAME (round-3 fix): a bare `_SUCCESS`
+    * check reused the dir across runs with different nPages/nChunks — a rerun
+    * with larger nChunks scanned empty partitions and committed them as done
+    * (silent row loss); a changed nPages silently processed the stale corpus.
+    * Distinct params now get distinct dirs, like Bench's `web_pages_$scalePages`.
+    */
+  def chunkedInputDir(outDir: String, nPages: Long, nChunks: Int) =
+    s"$outDir/input_by_chunk_${nPages}p_${nChunks}c"
 
   private def materializeChunkedInput(spark: SparkSession, nPages: Long,
                                       outDir: String, nChunks: Int): String = {
-    val dir = chunkedInputDir(outDir)
+    val dir = chunkedInputDir(outDir, nPages, nChunks)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir, "_SUCCESS"))) {
       WebPagesGen.pages(spark, nPages).toDF()

@@ -144,11 +144,14 @@ object Ann {
   /** Bucket width that keeps the within-bucket join linear: enough hyperplanes that
     * the expected bucket holds ~`targetBucket` rows. Fixed `planes` (round 1's 8 →
     * 256 buckets) goes quadratic-in-bucket at corpus scale; deriving it from the
-    * corpus size keeps per-bucket work bounded at ANY n (10^12 rows → ~31 planes).
-    * One `count()` of the corpus is the price — trivial next to the join it sizes.
+    * corpus size keeps per-bucket work bounded at ANY n (10^12 rows → ~31 planes,
+    * within the clamp: `hyperplaneSignature` packs up to 62 sign bits in a long, so
+    * the bounded-bucket guarantee holds to ~2^62·targetBucket rows — beyond any
+    * physical corpus). One `count()` of the corpus is the price — trivial next to
+    * the join it sizes.
     */
   def autoPlanes(n: Long, targetBucket: Int = 512): Int =
-    math.min(30, math.max(4,
+    math.min(62, math.max(4,
       math.ceil(math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2)).toInt))
 
   /** All-pairs top-k join (each left row gets its k nearest right rows) via bucketed

@@ -249,7 +249,8 @@ class OpsSpec extends SparkSuite {
   test("ann: bucket count auto-scales with corpus size (quadratic-bucket guard)") {
     assert(Ann.autoPlanes(1000, 512) == 4) // floor clamp
     assert(Ann.autoPlanes(512L * 1024, 512) == 10) // 2^10 buckets of ~512
-    assert(Ann.autoPlanes(1L << 45, 512) == 30) // ceiling clamp at 10^12+ rows
+    assert(Ann.autoPlanes(1L << 45, 512) == 36) // 10^13 rows: still exact, no clamp
+    assert(Ann.autoPlanes(Long.MaxValue, 1) == 62) // ceiling clamp = signature bits
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Ann.topKJoin(e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
       "embedding", 64, k = 3) // planes auto-derived from corpus count

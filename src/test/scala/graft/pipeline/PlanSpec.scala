@@ -52,11 +52,19 @@ class PlanSpec extends SparkSuite {
     // self-join sides + verify joins) — round 2 measured the un-cached plan at 6×
     // the hashing cost. The materialization points must stay in the plan.
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val plan = graft.dedup.Dedup.minhashDupPairs(d, "doc_id", "text")
-      .queryExecution.executedPlan.toString
+    val (lazyPairs, staged) = graft.dedup.Dedup.minhashDupPairsPlan(d, "doc_id", "text")
+    val plan = lazyPairs.queryExecution.executedPlan.toString
     val cacheScans = plan.linesIterator.count(_.contains("InMemoryTableScan"))
     assert(cacheScans >= 4,
       s"expected ≥4 cache scans (banded ×3, shingles ×2), got $cacheScans:\n${plan.take(2000)}")
+    staged.foreach(_.unpersist())
+    // the public entry point releases its staged caches before returning
+    // (round-2 ADVICE: two relations leaked per call for the session lifetime)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    graft.dedup.Dedup.minhashDupPairs(d, "doc_id", "text")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, // +1 = the localCheckpointed result itself
+      s"minhashDupPairs must unpersist its staged caches ($before -> $after persistent RDDs)")
   }
 
   test("structuring stays inside whole-stage codegen") {
@@ -81,10 +89,11 @@ class PlanSpec extends SparkSuite {
 
   test("minhash LSH dedup is a band equi-join, never a cartesian product") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val plan = graft.dedup.Dedup.minhashDupPairs(docs, "doc_id", "text")
-      .queryExecution.executedPlan.toString
+    val (lazyPairs, staged) = graft.dedup.Dedup.minhashDupPairsPlan(docs, "doc_id", "text")
+    val plan = lazyPairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("band"), plan) // join keyed on the LSH band columns
+    staged.foreach(_.unpersist())
   }
 
   test("declarative miners: no cartesian products, broadcast where intended") {

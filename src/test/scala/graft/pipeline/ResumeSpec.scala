@@ -114,7 +114,7 @@ class ResumeSpec extends SparkSuite {
   test("chunk input is partition-pruned: a chunk's scan reads only its slice") {
     val dir = Files.createTempDirectory("graft_resume_prune").toString
     ResumableRunner.run(spark, cfg, N, dir, nChunks = 4)
-    val inputDir = ResumableRunner.chunkedInputDir(dir)
+    val inputDir = ResumableRunner.chunkedInputDir(dir, N, 4)
     val all = spark.read.parquet(inputDir)
     val pruned = all.filter(col("chunk") === 2)
     // physical proof: every file feeding the pruned scan lives under chunk=2/
