@@ -36,6 +36,18 @@ object SparkEntry {
       (cat, asg.persist())
     })
 
+  /** The minhash near-dup pair set over [[docsWithDups]], computed once per
+    * (session, sfDir) — `minhashDupPairs` eagerly checkpoints its (small) result
+    * and releases its staged caches (round-3 ADVICE fix), so sharing the returned
+    * frame across the queries that consume it (d_minhash_pairs, d_components) is
+    * a cheap ExistingRDD scan, not a leaked cache.
+    */
+  private val minhashCache = TrieMap[String, DataFrame]()
+  private def minhashPairsFor(s: SparkSession, dir: String): DataFrame =
+    minhashCache.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir",
+      Dedup.minhashDupPairs(docsWithDups(s, dir), "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.9))
+
   /** documents ∪ exact copies (ids +100000 for every 5th doc) — guaranteed
     * duplicates so dedup queries return non-empty, fully deterministic results.
     */
@@ -80,17 +92,40 @@ object SparkEntry {
       asg.select("url", "line_no", "event_id")
     }),
     "log_params" -> ((s, dir) => {
-      val (_, asg) = assignedFor(s, dir)
-      asg.filter(size(col("parameter_list")) > 0)
-        .select(col("url"), col("line_no"),
-          concat_ws("|", col("parameter_list")).as("params"))
+      // F6 re-based on the documents table (round 3) so the real ParamExtractor —
+      // with the reference's `<.{1,5}>` quirk — gets an INDEPENDENT oracle: the
+      // oracle derives the expected parameters from the synthesis rule, not by
+      // replaying the regex machinery. Case 1 is the plain multi-slot path; case
+      // 2's literal `<init>` token must become a parameter slot via the quirk.
+      // The in-pipeline extraction stays covered by ParamExtractorSpec + goldens.
+      val ex = udf((t: String, c: String) =>
+        graft.drain.ParamExtractor.extract(t, c).toSeq)
+      val d = t(s, dir, "documents")
+      val c1 = d.select(col("doc_id"), lit(1L).as("case_id"),
+        lit("req <*> user <*> lang <*>").as("tpl"),
+        concat(lit("req "), col("source"), lit(" user "),
+          col("doc_id").cast("string"), lit(" lang "), col("lang")).as("content"))
+      val c2 = d.select(col("doc_id"), lit(2L).as("case_id"),
+        lit("boot <init> phase <*>").as("tpl"),
+        concat(lit("boot <init> phase "),
+          (col("doc_id") % 100).cast("string")).as("content"))
+      c1.unionByName(c2).select(col("doc_id"), col("case_id"),
+        concat_ws("|", ex(col("tpl"), col("content"))).as("params"))
     }),
     "log_enrich_region" -> ((s, dir) => {
-      val (_, asg) = assignedFor(s, dir)
-      new LogPipeline(PipelineConfig.hdfs)
-        .enrich(asg, WebPagesGen.dimDomainLang(s))
-        .groupBy("region", "tier").agg(count(lit(1)).as("rows"))
-        .orderBy("region", "tier")
+      // J-enrich re-based on the documents table (round 3): the same
+      // LogPipeline.enrich path (parse_url host + broadcast hash join) over a
+      // deterministic dim derived from `source`, so the whole enrich gets a
+      // DuckDB oracle. PlanSpec still asserts the join is a BroadcastHashJoin.
+      val d = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("doc_id").cast("string")))
+      val dim = d.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("domain"),
+          concat(lit("r"), (length(col("source")) % 3).cast("string")).as("region"),
+          concat(lit("t"), (length(col("source")) % 2).cast("string")).as("tier"))
+      new LogPipeline(PipelineConfig.hdfs).enrich(d, dim)
+        .groupBy("region", "tier").agg(count(lit(1)).as("n_rows"))
     }),
     "log_eval_scores" -> ((s, dir) => {
       val (_, asg) = assignedFor(s, dir)
@@ -203,6 +238,25 @@ object SparkEntry {
         support = lines.count() / 10)
     }),
 
+    "lfa_templates" -> ((s, dir) => {
+      // seventh miner (LFA largest-frequency-gap split, no support knob): the
+      // event-type token's frequency dwarfs the u/v parameter tokens', so every
+      // line splits after its type token → "type <*> <*>" templates
+      val lines = t(s, dir, "events").select(
+        concat(col("event_type"), lit(" u"), col("user_id").cast("string"),
+          lit(" v"), round(col("value") * 100).cast("long").cast("string")).as("line"))
+      graft.lfa.Lfa.mineCatalog(lines, "line")
+    }),
+
+    "lenma_templates" -> ((s, dir) => {
+      // eighth miner (LenMa word-length-vector clustering at similarity 1.0):
+      // same-shape lines cluster; positions where members disagree become <*>
+      val lines = t(s, dir, "events").select(
+        concat(col("event_type"), lit(" u"), col("user_id").cast("string"),
+          lit(" v"), round(col("value") * 100).cast("long").cast("string")).as("line"))
+      graft.lenma.LenMa.mineCatalog(lines, "line")
+    }),
+
     "log_spell_templates" -> ((s, dir) => {
       // Spell as the PRIMARY miner (reference ships it as a full parser): sequential
       // deterministic mine over a bounded canonical prefix, like its online design.
@@ -292,9 +346,7 @@ object SparkEntry {
       // in this corpus lands in a shared band (exact copies have J=1 → identical
       // signatures → every band; the natural near-dup pairs are verified equal to
       // the exact set), so the oracle doubles as a recall=1.0 assertion
-      Dedup.minhashDupPairs(docsWithDups(s, dir), "doc_id", "text",
-        k = 3, numHashes = 64, bands = 16, threshold = 0.9)
-        .select(col("id_a"), col("id_b"))),
+      minhashPairsFor(s, dir).select(col("id_a"), col("id_b"))),
     "d_simhash_pairs" -> ((s, dir) =>
       // FNV sketch family so the DuckDB oracle can recompute the simhash bit-for-bit
       // (HUGEINT wrapping arithmetic + per-bit majority); at maxHamming=0 the
@@ -307,10 +359,18 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
         k = 3, threshold = 0.5).select(col("id_a"), col("id_b"))),
     "d_embed_pairs" -> ((s, dir) => {
+      // oracled against the EXACT all-pairs float64 cosine ≥ 0.99 set (round 3):
+      // the trailing cosine filter makes precision exact, and recall 1.0 is
+      // pinned on this deterministic corpus — every perturbed dup (+0.001f) lands
+      // in its original's bucket at these seeded planes (the perturbation's
+      // projection shift is far from any plane boundary here; checked at sf0.001
+      // and sf0.01). Vectors are widened to float64 BEFORE bucketing+scoring so
+      // the threshold compare is bit-reproducible against DuckDB.
       val e = t(s, dir, "embeddings")
       val withDups = e.unionByName(e.filter(col("vec_id") % 5 === 0)
         .withColumn("vec_id", col("vec_id") + 100000)
         .withColumn("embedding", transform(col("embedding"), x => x + lit(0.001f))))
+        .withColumn("embedding", col("embedding").cast("array<double>"))
       Dedup.embeddingDupPairs(withDups, "vec_id", "embedding", dim = 64,
         planes = 12, threshold = 0.99).select(col("id_a"), col("id_b"))
     }),
@@ -319,9 +379,7 @@ object SparkEntry {
       // pairs → clusters: min-label connected components over the LSH near-dup
       // pair list (the step a real dedup pipeline needs before keeping one doc per
       // cluster); oracled against a DuckDB recursive CTE over the exact pair set
-      Dedup.connectedComponents(
-        Dedup.minhashDupPairs(docsWithDups(s, dir), "doc_id", "text",
-          k = 3, numHashes = 64, bands = 16, threshold = 0.9))
+      Dedup.connectedComponents(minhashPairsFor(s, dir))
         .select(col("id"), col("component"))),
 
     "td_pipeline" -> ((s, dir) => {
@@ -386,24 +444,35 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 4).as("score4"))
     }),
     "ann_lsh_topk" -> ((s, dir) => {
+      // exactness setting (round 3): probeHamming = planes accepts every bucket,
+      // so the LSH path must reproduce the brute-force float64 oracle EXACTLY —
+      // this oracles the bucketing+probe machinery itself. The pruned path
+      // (probeHamming=3, float32) keeps its recall bars in OpsSpec.
       val e = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
       val q = e.filter(col("vec_id") === 0).select("embedding")
-        .collect()(0).getSeq[Float](0)
-      Ann.lshTopK(e, "vec_id", "embedding", 64, q, 10, planes = 10, probeHamming = 3)
+        .collect()(0).getSeq[Double](0)
+      Ann.lshTopK(e, "vec_id", "embedding", 64, q, 10, planes = 10, probeHamming = 10)
         .select(col("id"), round(col("score"), 4).as("score4"))
     }),
     "ann_ivf_topk" -> ((s, dir) => {
+      // exactness setting: nProbe = #centroids probes every bucket, so the IVF
+      // path (fit → bucket assign → probe → float64 score) must equal brute force
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0)
       val idx = Ann.ivfFit(e, "vec_id", "embedding", k = 8, iters = 2)
-      Ann.ivfTopK(idx, q, k = 10, nProbe = 3)
+      Ann.ivfTopK(idx, q, k = 10, nProbe = 8)
         .select(col("id"), round(col("score"), 4).as("score4"))
     }),
     "ann_topk_join" -> ((s, dir) => {
+      // exactness setting: probeHamming = planes joins every bucket pair, so the
+      // bucketed top-k join must equal the exact per-row top-k (float64 both sides)
       val e = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
       Ann.topKJoin(e.filter(col("vec_id") < 20), e, "vec_id", "vec_id",
-        "embedding", 64, k = 5).select("id_l", "id_r", "rank")
+        "embedding", 64, k = 5, planes = 8, probeHamming = 8)
+        .select(col("id_l"), col("id_r"), col("rank").cast("long").as("rank"))
     }),
 
     // ---------- multimodal plumbing ------------------------------------------
@@ -529,6 +598,14 @@ object SparkEntry {
       "len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有'], x))) AS s5 " +
       "FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)))"
 
+  private val annBruteOracle =
+    "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) " +
+      "SELECT vec_id AS id, round(score, 4) AS score4 FROM (" +
+      "SELECT e.vec_id, list_dot_product(e.embedding::DOUBLE[], q.qv) / " +
+      "GREATEST(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(q.qv, q.qv)), 1e-12) AS score FROM embeddings e, q) " +
+      "ORDER BY score DESC, vec_id LIMIT 10"
+
   def oracleSql: Map[String, String] = Map(
     "td_pipeline" ->
       (s"WITH scored AS (SELECT d.doc_id, d.text, $qualityExpr AS q, l.pred_lang " +
@@ -546,6 +623,18 @@ object SparkEntry {
         "'^(.*?)\\s+(.*?)\\s+(.*?):\\s+(.*?)$' AS p FROM documents)"),
     "f5_eventid_md5" ->
       "SELECT doc_id, substr(md5(text), 1, 8) AS event_id FROM documents",
+    "log_params" ->
+      // expected params derived from the synthesis rule, independent of the
+      // extractor's regex machinery: case 1 = the three spliced values; case 2 =
+      // the `<.{1,5}>` quirk turning literal '<init>' into a captured slot
+      ("SELECT doc_id, CAST(1 AS BIGINT) AS case_id, " +
+        "source || '|' || CAST(doc_id AS VARCHAR) || '|' || lang AS params FROM documents " +
+        "UNION ALL SELECT doc_id, CAST(2 AS BIGINT), " +
+        "'<init>|' || CAST(doc_id % 100 AS VARCHAR) FROM documents"),
+    "log_enrich_region" ->
+      ("SELECT 'r' || CAST(length(source) % 3 AS VARCHAR) AS region, " +
+        "'t' || CAST(length(source) % 2 AS VARCHAR) AS tier, count(*) AS n_rows " +
+        "FROM documents GROUP BY 1, 2"),
     "a1_group_counts" ->
       "SELECT lang, source, count(*) AS occurrences FROM documents GROUP BY lang, source",
     "a4_contingency" ->
@@ -607,7 +696,8 @@ object SparkEntry {
         "(acc, t) -> (acc * 1099511628211::HUGEINT + t) % 18446744073709551616::HUGEINT) AS u FROM th)"),
     "iplom_templates" ->
       // the full IPLoM mine replayed relationally: length partition → cardinality
-      // table → leftmost-min split (arg_min keyed nd*1e6+pos) → per-partition
+      // table → leftmost-min split (arg_min keyed nd*1e6+pos) → cluster-goodness
+      // gate → bijection-mapping split (B1/B2/MM, round 3) → per-partition
       // constant/wildcard pieces → merged catalog
       ("WITH lines AS (SELECT event_type || ' u' || CAST(user_id AS VARCHAR) || ' v' || " +
         "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS line FROM events), " +
@@ -619,7 +709,26 @@ object SparkEntry {
         "r AS (SELECT CASE WHEN c.split_pos1 IS NULL THEN t2.pkey " +
         "ELSE t2.pkey || ' ' || t2.toks[c.split_pos1] END AS pkey, t2.toks " +
         "FROM t2 LEFT JOIN cards c ON t2.pkey = c.pkey), " +
-        "pe2 AS (SELECT pkey, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM r), " +
+        "cards3 AS (SELECT pkey, pos1, count(DISTINCT tok) AS nd FROM " +
+        "(SELECT pkey, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM r) GROUP BY 1, 2), " +
+        "elig AS (SELECT pkey FROM (SELECT pkey, " +
+        "CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS gc, " +
+        "sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS nm FROM cards3 GROUP BY pkey) " +
+        "WHERE gc < 0.35 AND nm >= 2), " +
+        "ppx AS (SELECT pkey, max(CASE WHEN rn = 1 THEN pos1 END) AS p1, " +
+        "max(CASE WHEN rn = 2 THEN pos1 END) AS p2 FROM " +
+        "(SELECT pkey, pos1, row_number() OVER (PARTITION BY pkey ORDER BY nd, pos1) AS rn " +
+        "FROM cards3 WHERE nd > 1 AND pkey IN (SELECT pkey FROM elig)) WHERE rn <= 2 GROUP BY pkey), " +
+        "r2x AS (SELECT r.pkey, r.toks, ppx.p1, ppx.p2, r.toks[ppx.p1] AS t1, " +
+        "r.toks[ppx.p2] AS t2 FROM r LEFT JOIN ppx USING (pkey)), " +
+        "m1x AS (SELECT pkey, t1, count(DISTINCT t2) AS m1 FROM r2x WHERE p1 IS NOT NULL GROUP BY 1, 2), " +
+        "m2x AS (SELECT pkey, t2, count(DISTINCT t1) AS m2 FROM r2x WHERE p1 IS NOT NULL GROUP BY 1, 2), " +
+        "r3 AS (SELECT r2x.pkey || CASE WHEN r2x.p1 IS NULL THEN '' " +
+        "WHEN m2x.m2 = 1 THEN ' B1:' || r2x.t1 WHEN m1x.m1 = 1 THEN ' B2:' || r2x.t2 " +
+        "ELSE ' MM' END AS pkey, r2x.toks FROM r2x " +
+        "LEFT JOIN m1x ON r2x.pkey = m1x.pkey AND r2x.t1 = m1x.t1 " +
+        "LEFT JOIN m2x ON r2x.pkey = m2x.pkey AND r2x.t2 = m2x.t2), " +
+        "pe2 AS (SELECT pkey, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM r3), " +
         "agg AS (SELECT pkey, pos1, min(tok) AS lo, max(tok) AS hi, count(*) AS n FROM pe2 GROUP BY pkey, pos1), " +
         "tpl AS (SELECT pkey, string_agg(CASE WHEN lo = hi THEN lo ELSE '<*>' END, ' ' ORDER BY pos1) AS event_template, " +
         "max(CASE WHEN pos1 = 1 THEN n END) AS occurrences FROM agg GROUP BY pkey) " +
@@ -653,6 +762,37 @@ object SparkEntry {
         "SELECT substr(md5(tpl), 1, 8) AS event_id, tpl AS event_template, CAST(SUM(occ) AS BIGINT) AS occurrences " +
         "FROM (SELECT array_to_string(CASE WHEN p_chosen IS NOT NULL AND ntpl >= 2 THEN merged ELSE lone END, ' ') AS tpl, occ FROM fin) " +
         "GROUP BY tpl"),
+    "lfa_templates" ->
+      // LFA replayed relationally: (pos, word) frequencies → per-line
+      // largest-relative-gap threshold (max ratio per line, ties → smallest wf,
+      // matching the engine exactly — IEEE double division of equal integers)
+      // → constant/wildcard assembly
+      ("WITH lines AS (SELECT event_type || ' u' || CAST(user_id AS VARCHAR) || ' v' || " +
+        "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS line FROM events), " +
+        "t AS (SELECT row_number() OVER () AS lid, string_split_regex(trim(line), '\\s+') AS toks FROM lines), " +
+        "pe AS (SELECT lid, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM t), " +
+        "freq AS (SELECT pos1, tok, count(*) AS wf FROM pe GROUP BY 1, 2), " +
+        "m AS (SELECT pe.lid, pe.pos1, pe.tok, f.wf FROM pe JOIN freq f ON pe.pos1 = f.pos1 AND pe.tok = f.tok), " +
+        "g AS (SELECT *, CAST(wf AS DOUBLE) / coalesce(lead(wf) OVER (PARTITION BY lid ORDER BY wf DESC, pos1), wf) AS ratio FROM m), " +
+        "g2 AS (SELECT *, max(ratio) OVER (PARTITION BY lid) AS rmax FROM g), " +
+        "thr AS (SELECT lid, min(CASE WHEN ratio = rmax THEN wf END) AS thr FROM g2 GROUP BY lid), " +
+        "ab AS (SELECT m.lid, string_agg(CASE WHEN m.wf >= thr.thr THEN m.tok ELSE '<*>' END, ' ' ORDER BY m.pos1) " +
+        "AS event_template FROM m JOIN thr ON m.lid = thr.lid GROUP BY m.lid) " +
+        "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, count(*) AS occurrences " +
+        "FROM ab GROUP BY event_template"),
+    "lenma_templates" ->
+      // LenMa replayed relationally: cluster key = word-length vector; a position
+      // is constant iff min(tok) = max(tok) within the cluster
+      ("WITH lines AS (SELECT event_type || ' u' || CAST(user_id AS VARCHAR) || ' v' || " +
+        "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS line FROM events), " +
+        "t AS (SELECT string_split_regex(trim(line), '\\s+') AS toks FROM lines), " +
+        "k AS (SELECT toks, array_to_string(list_transform(toks, x -> CAST(length(x) AS VARCHAR)), ',') AS lkey FROM t), " +
+        "pe AS (SELECT lkey, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM k), " +
+        "agg AS (SELECT lkey, pos1, min(tok) AS lo, max(tok) AS hi, count(*) AS n FROM pe GROUP BY 1, 2), " +
+        "tpl AS (SELECT lkey, string_agg(CASE WHEN lo = hi THEN lo ELSE '<*>' END, ' ' ORDER BY pos1) AS event_template, " +
+        "max(CASE WHEN pos1 = 1 THEN n END) AS occurrences FROM agg GROUP BY lkey) " +
+        "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
+        "CAST(SUM(occurrences) AS BIGINT) AS occurrences FROM tpl GROUP BY event_template"),
     "slct_templates" ->
       // SLCT's two counting passes replayed relationally: global (position, word)
       // frequencies ≥ support → per-line abstraction (ordered string_agg) →
@@ -797,13 +937,30 @@ object SparkEntry {
         "r AS (SELECT doc_id, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d) " +
         "SELECT doc_id FROM r WHERE run <= 5000"),
-    "ann_brute_topk" ->
-      ("WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) " +
-        "SELECT vec_id AS id, round(score, 4) AS score4 FROM (" +
-        "SELECT e.vec_id, list_dot_product(e.embedding::DOUBLE[], q.qv) / " +
-        "GREATEST(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
-        "sqrt(list_dot_product(q.qv, q.qv)), 1e-12) AS score FROM embeddings e, q) " +
-        "ORDER BY score DESC, vec_id LIMIT 10"),
+    "ann_brute_topk" -> annBruteOracle,
+    // exactness settings (probe everything) provably reduce both ANN paths to
+    // brute force — one float64 oracle serves all three
+    "ann_lsh_topk" -> annBruteOracle,
+    "ann_ivf_topk" -> annBruteOracle,
+    "ann_topk_join" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+        "SELECT id_l, id_r, rank FROM (" +
+        "SELECT l.vec_id AS id_l, r.vec_id AS id_r, " +
+        "CAST(row_number() OVER (PARTITION BY l.vec_id ORDER BY " +
+        "list_dot_product(l.v, r.v) / GREATEST(sqrt(list_dot_product(l.v, l.v)) * " +
+        "sqrt(list_dot_product(r.v, r.v)), 1e-12) DESC, r.vec_id) AS BIGINT) AS rank " +
+        "FROM (SELECT * FROM e WHERE vec_id < 20) l, e r) WHERE rank <= 5"),
+    "d_embed_pairs" ->
+      // exact all-pairs float64 cosine ≥ threshold — the LSH-bucketed path's
+      // verify stage makes precision exact and recall is 1.0 on this corpus
+      // (deterministic seeded planes; see the query comment)
+      ("WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
+        "UNION ALL SELECT vec_id + 100000, " +
+        "list_transform(embedding, x -> CAST(x + CAST(0.001 AS FLOAT) AS FLOAT))::DOUBLE[] " +
+        "FROM embeddings WHERE vec_id % 5 = 0) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM w a, w b " +
+        "WHERE a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) / " +
+        "GREATEST(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12) >= 0.99"),
     "mm_features" ->
       ("SELECT CAST(doc_id AS VARCHAR) AS url, 'html' AS kind, " +
         "CAST(octet_length(encode(b)) AS BIGINT) AS byte_len, md5(b) AS content_hash, " +

@@ -366,16 +366,31 @@ object Dedup {
     * sizes the bucket count to the corpus via [[graft.sim.Ann.autoPlanes]] — a fixed
     * plane count leaves ~n²/2^planes within-bucket pairs, which goes quadratic at
     * 10^12 rows; auto-scaling keeps expected bucket size constant at any n.
+    *
+    * `probeFlips = 1` (default) multi-probes each single-bit neighbor bucket on one
+    * join side, so a true pair is missed only when the perturbation flips ≥2 plane
+    * signs (a near-dup pair sits close to a plane with probability ~angle/π per
+    * plane, so one flip is the dominant failure mode — round 3 measured exactly one
+    * such miss without probing). Cost: (planes+1)× rows on one side, ids+bucket
+    * only — linear, never quadratic. 0 disables probing (exact-bucket join).
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, planes: Int = 0,
-                        threshold: Double = 0.95): DataFrame = {
+                        threshold: Double = 0.95,
+                        probeFlips: Int = 1): DataFrame = {
     val p = if (planes > 0) planes else graft.sim.Ann.autoPlanes(df.count())
     val sig = graft.sim.Ann.hyperplaneSignature(col(vecCol), dim, p)
     val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
-    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val probes =
+      if (probeFlips >= 1)
+        array(Seq(col("bucket")) ++
+          (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
+      else array(col("bucket"))
+    val a = withSig.select(explode(probes).as("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"))
     val b = withSig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // a pair can match via several probe buckets
       .withColumn("cosine", graft.sim.Ann.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

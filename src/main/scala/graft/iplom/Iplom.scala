@@ -7,14 +7,22 @@ import org.apache.spark.sql.functions._
   * Logs Using Iterative Partitioning", KDD'09; reference ships it as
   * `logparser/IPLoM/IPLoM.py::LogParser` — upstream-from-memory cite, SURVEY §0.1).
   *
-  * Scope: the partition-refinement core — step 1 (partition by token count), step 2
-  * (split each partition on its lowest-cardinality token position, iterated
-  * `refinements` times), step 4 (per-partition template: a position is a constant iff
-  * it has exactly one distinct token, else `<*>`). Step 3 (bijection-mapping
-  * partitioning with its CT/bound heuristics) is deliberately omitted: it is a
-  * further refinement round of the same groupBy shape, and the reference's
-  * threshold knobs are not pinned by the north_rule — the omission is documented
-  * rather than approximated.
+  * Scope: the full partition-refinement chain — step 1 (partition by token count),
+  * step 2 (split each partition on its lowest-cardinality token position, iterated
+  * `refinements` times), step 3 (bijection-mapping partitioning, since round 3),
+  * step 4 (per-partition template: a position is a constant iff it has exactly one
+  * distinct token, else `<*>`).
+  *
+  * Step 3 here is the mapping-split core of `IPLoM.py::Get_Mapping` / the step-3
+  * block: per partition, pick P1/P2 = the two lowest-cardinality multi-valued
+  * positions; classify each (t1, t2) value pair by its mapping relation —
+  * m2(t2)=1 ⇒ 1-1 or 1-M (key the partition split on t1), m1(t1)=1 ∧ m2>1 ⇒ M-1
+  * (key on t2), else M-M (all such lines stay together in one sub-partition, the
+  * paper's M-M rule). The reference's CT / upper-bound / lower-bound heuristic
+  * knobs (which GATE whether a partition enters step 3 and which side of a 1-M
+  * splits) are not pinned by the north_rule and are deliberately not emulated —
+  * every eligible partition takes the split, with the mapping classification
+  * itself faithful.
   *
   * Why this miner exists next to Drain/Spell: it is FULLY declarative. Drain and
   * Spell are online algorithms (sequential state, order-dependent); IPLoM's steps
@@ -37,10 +45,15 @@ object Iplom {
     *                    lowest-cardinality multi-valued token position (cardinality
     *                    ties broken by the leftmost position). 1 matches the paper's
     *                    single step-2 pass; more rounds = finer partitions.
+    * @param ct          step-3 cluster-goodness threshold (reference default 0.35):
+    *                    partitions whose single-valued-position ratio is >= ct are
+    *                    already "good" and skip the bijection split; ct <= 0
+    *                    disables step 3 entirely.
     * @return (event_template, occurrences), identical templates from different
     *         partitions merged, deterministically ordered by the caller.
     */
-  def mineTemplates(lines: DataFrame, lineCol: String, refinements: Int = 1): DataFrame = {
+  def mineTemplates(lines: DataFrame, lineCol: String, refinements: Int = 1,
+                    ct: Double = 0.35): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
 
@@ -69,9 +82,55 @@ object Iplom {
         .drop("split_pos")
     }
 
+    // step 3: bijection-mapping split (see class doc), GATED by the paper's
+    // cluster-goodness test: a partition enters step 3 only when
+    // GC = |single-valued positions| / |positions| < ct (a "bad" cluster) AND it
+    // has at least two multi-valued positions to map. P1/P2 = the two
+    // lowest-cardinality multi-valued positions (leftmost on ties). Pair typing
+    // needs two count-distinct aggregations; the per-partition tables broadcast,
+    // one more round of the step-2 groupBy shape — no new shuffle structure.
+    val cards3 = refined
+      .select(col("pkey"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .groupBy("pkey", "pos")
+      .agg(count_distinct(col("tok")).as("nd"))
+    val eligible = cards3.groupBy("pkey")
+      .agg((sum(when(col("nd") === 1, 1L).otherwise(0L)) / count(lit(1))).as("gc"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("nMulti"))
+      .filter(col("gc") < ct && col("nMulti") >= 2)
+      .select("pkey")
+    val pp = cards3.filter(col("nd") > 1)
+      .join(eligible, Seq("pkey"), "left_semi")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pkey")
+          .orderBy(col("nd"), col("pos"))))
+      .filter(col("rn") <= 2)
+      .groupBy("pkey")
+      .agg(max(when(col("rn") === 1, col("pos"))).as("p1"),
+        max(when(col("rn") === 2, col("pos"))).as("p2"))
+      .filter(col("p2").isNotNull)
+    val withPair = refined.join(broadcast(pp), Seq("pkey"), "left")
+      .withColumn("t1", when(col("p1").isNotNull, element_at(col("toks"), col("p1") + 1)))
+      .withColumn("t2", when(col("p2").isNotNull, element_at(col("toks"), col("p2") + 1)))
+    val m1 = withPair.filter(col("p1").isNotNull).groupBy("pkey", "t1")
+      .agg(count_distinct(col("t2")).as("m1"))
+    val m2 = withPair.filter(col("p1").isNotNull).groupBy("pkey", "t2")
+      .agg(count_distinct(col("t1")).as("m2"))
+    // m1/m2 are one row per distinct VALUE pair side — unbounded in the worst
+    // case, so they join hash-shuffled (AQE broadcasts them when small), unlike
+    // the per-partition tables (cards/pp), which are safe to broadcast.
+    val mapped = withPair
+      .join(m1, Seq("pkey", "t1"), "left")
+      .join(m2, Seq("pkey", "t2"), "left")
+      .withColumn("pkey", concat(col("pkey"),
+        when(col("p1").isNull, lit(""))
+          .when(col("m2") === 1, concat(lit(" B1:"), col("t1"))) // 1-1 and 1-M: key on t1
+          .when(col("m1") === 1, concat(lit(" B2:"), col("t2"))) // M-1: key on t2
+          .otherwise(lit(" MM")))) // M-M: one sub-partition
+      .select("pkey", "toks")
+
     // step 4: per partition, a position is constant iff it has exactly one distinct
     // token. min(tok) == max(tok) detects that without a count_distinct per cell.
-    val templates = refined
+    val templates = mapped
       .select(col("pkey"), posexplode(col("toks")).as(Seq("pos", "tok")))
       .groupBy("pkey", "pos")
       .agg(min(col("tok")).as("lo"), max(col("tok")).as("hi"),
@@ -90,6 +149,7 @@ object Iplom {
   }
 
   /** [[mineTemplates]] plus the md5-prefix event id used across the engine. */
-  def mineCatalog(lines: DataFrame, lineCol: String, refinements: Int = 1): DataFrame =
-    graft.miner.MinerOutput.withEventId(mineTemplates(lines, lineCol, refinements))
+  def mineCatalog(lines: DataFrame, lineCol: String, refinements: Int = 1,
+                  ct: Double = 0.35): DataFrame =
+    graft.miner.MinerOutput.withEventId(mineTemplates(lines, lineCol, refinements, ct))
 }

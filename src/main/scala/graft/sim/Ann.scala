@@ -55,10 +55,14 @@ object Ann {
   /** LSH-bucketed top-k: score only vectors whose bucket is within `probeHamming`
     * bits of the query's bucket. At cluster scale the bucket column is a partition /
     * cluster key, so a probe touches a bounded row range instead of the full table.
+    * Generic in the element type (like [[bruteForceTopK]]) so `probeHamming = planes`
+    * + double vectors turns the probe into a full scan whose result is provably the
+    * brute-force answer — the exactness setting the DuckDB oracle checks.
     */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-              query: Seq[Float], k: Int, planes: Int = 12,
-              probeHamming: Int = 2): DataFrame = {
+  def lshTopK[T: scala.reflect.runtime.universe.TypeTag](
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      query: Seq[T], k: Int, planes: Int = 12,
+      probeHamming: Int = 2): DataFrame = {
     val q = typedlit(query)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
@@ -128,15 +132,20 @@ object Ann {
     IvfIndex(centroids, base.withColumn("bucket", assignF(col("v"))))
   }
 
-  /** IVF probe: score only the `nProbe` buckets nearest to the query. */
+  /** IVF probe: score only the `nProbe` buckets nearest to the query. Scoring is
+    * float64 regardless of the storage type — the selection/ranking is then
+    * bit-reproducible against a float64 SQL oracle, and `nProbe >= k-centroids`
+    * (probe everything) provably reduces to brute force.
+    */
   def ivfTopK(index: IvfIndex, query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
     val q = query.toArray
     val probes = index.centroids.zipWithIndex
       .sortBy { case (c, _) => sqDist(c, q) }
       .take(nProbe).map(_._2)
+    val qd = typedlit(query.map(_.toDouble))
     index.bucketed
       .filter(col("bucket").isin(probes.toSeq: _*))
-      .select(col("id"), cosine(col("v"), typedlit(query)).as("score"))
+      .select(col("id"), cosine(col("v").cast("array<double>"), qd).as("score"))
       .orderBy(desc("score"), col("id"))
       .limit(k)
   }
@@ -159,16 +168,28 @@ object Ann {
     * `planes = 0` (default) auto-scales bucket count to the right corpus size via
     * [[autoPlanes]], so the per-bucket self-join stays bounded at 100 TB.
     */
+  /** `probeHamming = 0` (default) joins buckets exactly — the scale path (equi-join
+    * on the bucket key). `probeHamming > 0` widens the candidate set to buckets
+    * within that hamming distance (a non-equi join — Spark plans a broadcast
+    * nested-loop when one side is small); `probeHamming >= planes` matches every
+    * bucket pair, so the result is provably the exact top-k join — the exactness
+    * setting the DuckDB oracle checks with a small left side.
+    */
   def topKJoin(left: DataFrame, right: DataFrame, idL: String, idR: String,
-               vecCol: String, dim: Int, k: Int, planes: Int = 0): DataFrame = {
+               vecCol: String, dim: Int, k: Int, planes: Int = 0,
+               probeHamming: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = if (planes > 0) planes else autoPlanes(right.count())
     val l = left.select(col(idL).as("id_l"), col(vecCol).as("v_l"),
-      hyperplaneSignature(col(vecCol), dim, p).as("bucket"))
+      hyperplaneSignature(col(vecCol), dim, p).as("bucket_l"))
     val r = right.select(col(idR).as("id_r"), col(vecCol).as("v_r"),
-      hyperplaneSignature(col(vecCol), dim, p).as("bucket"))
+      hyperplaneSignature(col(vecCol), dim, p).as("bucket_r"))
     val w = Window.partitionBy("id_l").orderBy(desc("score"), col("id_r"))
-    l.join(r, Seq("bucket"))
+    val joined =
+      if (probeHamming <= 0) l.join(r, col("bucket_l") === col("bucket_r"))
+      else l.join(r,
+        bit_count(col("bucket_l").bitwiseXOR(col("bucket_r"))) <= probeHamming)
+    joined
       .withColumn("score", cosine(col("v_l"), col("v_r")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

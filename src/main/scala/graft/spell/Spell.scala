@@ -162,10 +162,17 @@ final class SpellModel(val tau: Double = 0.5) extends Serializable {
     }
   }
 
+  /** Lines consumed by [[add]] — lets a bounded distributed mine cap per-partition
+    * work (see [[SpellAggregator]]); purely informational for the sequential path.
+    */
+  var minedLines: Long = 0L
+
   /** One online step — the body of reference `::parse` ≈L210–260. `tokens` must
     * already be Spell-tokenized (`[\s=:,]` split) and mask-preprocessed.
+    * `weight` lets a merge replay a whole cluster (template × count) as one step.
     */
-  def add(tokens: Array[String]): LcsCluster = {
+  def add(tokens: Array[String], weight: Long = 1L): LcsCluster = {
+    minedLines += 1
     val constSeq = constantTokens(tokens)
     var matched = prefixTreeMatch(root, constSeq, 0)
     if (matched == null) {
@@ -173,7 +180,7 @@ final class SpellModel(val tau: Double = 0.5) extends Serializable {
       if (matched == null) {
         val (lcsClust, _) = lcsMatch(tokens)
         if (lcsClust == null) {
-          val c = new LcsCluster(tokens.clone(), 1L)
+          val c = new LcsCluster(tokens.clone(), weight)
           clusterList += c
           addToPrefixTree(c)
           return c
@@ -188,8 +195,32 @@ final class SpellModel(val tau: Double = 0.5) extends Serializable {
         }
       }
     }
-    matched.count += 1
+    matched.count += weight
     matched
+  }
+
+  /** Commutative merge for partial aggregation (the Spell analog of
+    * [[graft.drain.DrainTree.canonicalMerge]]): rebuild a FRESH model by replaying
+    * the union of both cluster lists — each cluster as (template, count) — in
+    * canonical (templateStr, count) order. The sorted multiset is the same either
+    * way, so `a.canonicalMerge(b)` and `b.canonicalMerge(a)` are bit-identical.
+    * Like online Drain, online Spell is insertion-order dependent, so results
+    * across different merge-TREE shapes are grouping-grade reproducible, not
+    * provably bit-identical — [[SpellAggregator]] carries the same contract as
+    * DrainAggregator.
+    */
+  def canonicalMerge(other: SpellModel): SpellModel = {
+    // empty-side shortcut: merging with an empty partial is the IDENTITY (not a
+    // replay), so a residue that lands in one partition stays bit-identical to
+    // the sequential mine however many empty partials surround it
+    if (other.clusterList.isEmpty) { minedLines += other.minedLines; return this }
+    if (clusterList.isEmpty) { other.minedLines += minedLines; return other }
+    val m = new SpellModel(tau)
+    (clusterList ++ other.clusterList)
+      .sortBy(c => (c.templateStr, c.count))
+      .foreach(c => m.add(c.template, c.count))
+    m.minedLines = minedLines + other.minedLines
+    m
   }
 
   /** Pure (non-mutating) match for the broadcast match phase: the same three-stage
@@ -209,7 +240,7 @@ final class SpellModel(val tau: Double = 0.5) extends Serializable {
 object SpellModel {
   def mine(lines: IterableOnce[Array[String]], tau: Double = 0.5): SpellModel = {
     val m = new SpellModel(tau)
-    lines.iterator.foreach(m.add)
+    lines.iterator.foreach(toks => m.add(toks))
     m
   }
 }

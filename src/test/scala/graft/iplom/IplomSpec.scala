@@ -59,6 +59,45 @@ class IplomSpec extends SparkSuite {
     assert(a.values.sum == 250L)
   }
 
+  test("step 3: bijection-mapping split — 1-1/1-M key on t1, M-1 on t2, M-M stays") {
+    val lines = Seq(
+      // partition "3 s1" after the step-2 split on pos0: GC = 0/3 < 0.35, two
+      // multi-valued positions -> eligible. Pairs (a,x*) and (b,y*) are 1-M
+      // (each x/y value maps back to exactly one left token) -> split on t1;
+      // (d,w1) is 1-1 -> also keyed on t1.
+      "s1 a x1", "s1 a x2", "s1 b y1", "s1 b y2", "s1 d w1", "s1 d w1",
+      // (e1,v0) and (e2,v0) are M-1 (each left token maps to exactly one right
+      // token, the right token maps back to two) -> split on t2
+      "s1 e1 v0", "s1 e2 v0",
+      // partition "3 s2": only ONE multi-valued position -> step 3 skipped
+      "s2 c z1", "s2 c z2",
+      // partition "3 s3": every (p,q) pair is M-M -> ONE sub-partition, both
+      // positions wildcard together (the paper's M-M rule)
+      "s3 p1 q1", "s3 p1 q2", "s3 p2 q1", "s3 p2 q2")
+    val m = mined(lines)
+    assert(m == Map(
+      "s1 a <*>" -> 2L, "s1 b <*>" -> 2L, "s1 d w1" -> 2L, "s1 <*> v0" -> 2L,
+      "s2 c <*>" -> 2L,
+      "s3 <*> <*>" -> 4L))
+    // ct <= 0 disables step 3: s1 collapses to a single catch-all partition
+    val noStep3 = Iplom.mineTemplates(lines.toDF("line"), "line", ct = 0.0)
+      .as[(String, Long)].collect().toMap
+    assert(noStep3("s1 <*> <*>") == 8L)
+  }
+
+  test("step 3: cluster-goodness gate skips partitions that are already good") {
+    // after splitting on pos0, partition "4 a": positions req/ok constant ->
+    // GC = 2/4 = 0.5 >= 0.35 -> good, step 3 must NOT split even though two
+    // multi-valued positions exist
+    val lines = Seq(
+      "a req 1 ok x1", "a req 2 ok x2", "a req 3 ok x3",
+      "b req 1 ok y1")
+    // len=5 group: pos0 nd=2 is the lowest multi -> split on a/b; "5 a" then has
+    // pos2 (1,2,3) and pos4 (x*) multi, pos0/1/3 constant -> GC=3/5=0.6 -> skip
+    val m = mined(lines)
+    assert(m == Map("a req <*> ok <*>" -> 3L, "b req 1 ok y1" -> 1L))
+  }
+
   test("mineCatalog ids are the engine's md5-prefix event ids") {
     // split lands on pos1 (nd=2 < nd=3); pos2 stays variable inside partition x
     val cat = Iplom.mineCatalog(Seq("a x 1", "a x 2", "a y 3").toDF("line"), "line")
