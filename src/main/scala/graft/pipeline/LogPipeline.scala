@@ -31,7 +31,8 @@ final case class PipelineConfig(
     tau: Double = 0.5,
     mineSampleLimit: Option[Int] = None,
     spellMineLimit: Int = 100000,
-    saltBuckets: Int = 8) {
+    saltBuckets: Int = 8,
+    mineSaltBuckets: Int = 8) {
   lazy val fmt: RexCompiler.CompiledFormat = RexCompiler.compile(logFormat)
 }
 
@@ -156,28 +157,45 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
       }
       case None => keyed
     }
-    val partials: Array[(Int, Array[Byte])] = bounded
+    // The FULL mine salts the length key into (len, bucket = hash(url) % nb):
+    // plain repartition($"len") caps parallelism at #distinct-lengths reducers —
+    // a skew/parallelism ceiling at 100× scale (VERDICT r2 #4). Each bucket mines
+    // its subset in canonical order; per-length bucket trees merge via
+    // `canonicalMerge` in sorted bucket order, so the result is deterministic and
+    // partition-count invariant (bucket membership depends on the url hash, never
+    // on the physical layout). nb = 1 reproduces the sequential-exact per-length
+    // mine bit-for-bit (single partial → the subtree is grafted unchanged). The
+    // SAMPLED mine keeps nb = 1: its exchange is already bounded to
+    // O(limit × partitions) rows, so the reducer ceiling is moot there, and the
+    // global-first-`limit` cap semantics stay exact.
+    val nb = if (cfgL.mineSampleLimit.isDefined) 1 else math.max(1, cfgL.mineSaltBuckets)
+    val bucketCol =
+      if (nb == 1) lit(0) else pmod(xxhash64(col("url")), lit(nb)).cast("int")
+    val partials: Array[((Int, Int), Array[Byte])] = bounded
       .toDF("len", "url", "line_no", "masked")
-      .repartition(col("len"))
-      .sortWithinPartitions("len", "url", "line_no")
-      .as[(Int, String, Int, String)]
+      .withColumn("bucket", bucketCol)
+      .repartition(col("len"), col("bucket"))
+      .sortWithinPartitions("len", "bucket", "url", "line_no")
+      .as[(Int, String, Int, String, Int)]
       .mapPartitions { it =>
-        val trees = mutable.HashMap[Int, DrainTree]()
+        val trees = mutable.HashMap[(Int, Int), DrainTree]()
         val mined = mutable.HashMap[Int, Int]()
-        it.foreach { case (len, _, _, m) =>
+        it.foreach { case (len, _, _, m, bucket) =>
           val n = mined.getOrElse(len, 0)
           if (cfgL.mineSampleLimit.forall(n < _)) {
-            trees.getOrElseUpdate(len,
+            trees.getOrElseUpdate((len, bucket),
               new DrainTree(cfgL.depth, cfgL.st, cfgL.maxChild)).add(RexCompiler.tokenize(m))
             mined(len) = n + 1
           }
         }
-        trees.iterator.map { case (len, tree) => (len, serialize(tree)) }
+        trees.iterator.map { case (key, tree) => (key, serialize(tree)) }
       }.collect()
 
     val merged = new DrainTree(cfg.depth, cfg.st, cfg.maxChild)
-    partials.sortBy(_._1).foreach { case (len, bytes) =>
-      val t = deserialize[DrainTree](bytes)
+    partials.groupBy(_._1._1).toSeq.sortBy(_._1).foreach { case (len, group) =>
+      val t = group.sortBy(_._1._2)
+        .map(g => deserialize[DrainTree](g._2))
+        .reduceLeft((a, b) => a.canonicalMerge(b))
       t.lengthLayer.get(len).foreach(node => merged.lengthLayer(len) = node)
       merged.clusterList ++= t.clusterList
     }

@@ -62,6 +62,52 @@ class SampledMineSpec extends SparkSuite {
       s"mine exchange moved ${shuffled.get()} rows — the sample cap must apply BEFORE the shuffle")
   }
 
+  test("full mine salts the length key: one hot length spreads over reducers") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    // a worst-case corpus: EVERY line has the same token count, so the unsalted
+    // exchange (repartition by len alone) funnels the whole mine through ONE
+    // reducer — the round-2 scale ceiling. With the salt, hash(url) buckets
+    // spread the hot length across reducers; the catalog must not change.
+    def maskedAllSameLen = (0 until 4000)
+      .map(i => (s"https://h$i.example.com/p", 0, s"evt user$i code${i % 7} done"))
+      .toDF("url", "line_no", "masked")
+      .withColumn("parsed", lit(true))
+    def reduceTaskRecords(cfg: PipelineConfig): (Seq[Long], graft.drain.DrainTree) = {
+      val recs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null && t.taskMetrics.shuffleReadMetrics.recordsRead > 0)
+            recs.add(t.taskMetrics.shuffleReadMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      // AQE merges these deliberately tiny test partitions back into one, hiding
+      // the spread this test observes; at real scale the partitions are not tiny
+      // and AQE keeps them apart. Disable coalescing for the measurement only.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val tree = try {
+        val t = new LogPipeline(cfg).mineDrain(maskedAllSameLen)
+        Thread.sleep(2000) // listener bus is async
+        t
+      } finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      (recs.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq, tree)
+    }
+    val (salted, saltedTree) = reduceTaskRecords(PipelineConfig.hdfs)
+    assert(salted.count(_ > 0) >= 2,
+      s"salted mine must spread the hot length over several reducers: $salted")
+    assert(salted.max < salted.sum,
+      s"no single reducer may see the whole length group: $salted")
+    val (unsalted, unsaltedTree) = reduceTaskRecords(
+      PipelineConfig.hdfs.copy(mineSaltBuckets = 1))
+    assert(unsalted.count(_ > 0) == 1, // the ceiling this test exists to document
+      s"unsalted mine funnels through one reducer: $unsalted")
+    // quality/determinism: bucketed merge reproduces the unsalted catalog here
+    assert(saltedTree.catalog() == unsaltedTree.catalog())
+  }
+
   test("sampled mine is deterministic across partitionings") {
     val cfg = PipelineConfig.hdfs.copy(mineSampleLimit = Some(20))
     val pages = WebPagesGen.pages(spark, 150L).toDF()
