@@ -238,6 +238,17 @@ object SparkEntry {
         support = lines.count() / 10)
     }),
 
+    "logmine_templates" -> ((s, dir) => {
+      // ninth miner (LogMine threshold-graph clustering): level-0 exact pattern
+      // dedup → exact pigeonhole band join → distance verify → connected
+      // components → positionwise template. The u/c construction makes the
+      // cluster structure nontrivial (patterns pair via a shared u OR a shared c)
+      val lines = t(s, dir, "events").select(
+        concat(col("event_type"), lit(" u"), (col("user_id") % 30).cast("string"),
+          lit(" c"), (col("user_id") % 7).cast("string")).as("line"))
+      graft.logmine.LogMine.mineCatalog(lines, "line", maxDist = 0.34)
+    }),
+
     "lfa_templates" -> ((s, dir) => {
       // seventh miner (LFA largest-frequency-gap split, no support knob): the
       // event-type token's frequency dwarfs the u/v parameter tokens', so every
@@ -761,6 +772,30 @@ object SparkEntry {
         "SELECT substr(md5(tpl), 1, 8) AS event_id, tpl AS event_template, CAST(SUM(occ) AS BIGINT) AS occurrences " +
         "FROM (SELECT array_to_string(CASE WHEN p_chosen IS NOT NULL AND ntpl >= 2 THEN merged ELSE lone END, ' ') AS tpl, occ FROM fin) " +
         "GROUP BY tpl"),
+    "logmine_templates" ->
+      // LogMine replayed relationally: distinct patterns → all-pairs distance
+      // within a length group (the oracle can afford all-pairs; the engine's
+      // pigeonhole banding is provably recall-exact, so the sets agree) →
+      // recursive-CTE components → positionwise template assembly
+      ("WITH RECURSIVE lines AS (SELECT event_type || ' u' || CAST(user_id % 30 AS VARCHAR) || " +
+        "' c' || CAST(user_id % 7 AS VARCHAR) AS line FROM events), " +
+        "pat AS (SELECT line AS p, count(*) AS cnt FROM lines GROUP BY line), " +
+        "pr AS (SELECT row_number() OVER (ORDER BY p) AS pid, p, cnt, " +
+        "string_split(p, ' ') AS toks, len(string_split(p, ' ')) AS l FROM pat), " +
+        "pairs AS (SELECT a.pid AS ia, b.pid AS ib FROM pr a, pr b WHERE a.pid < b.pid " +
+        "AND a.l = b.l AND len(list_filter(range(1, a.l + 1), i -> a.toks[i] != b.toks[i])) " +
+        "<= CAST(floor(a.l * 0.34) AS BIGINT)), " +
+        "e AS (SELECT ia AS src, ib AS dst FROM pairs UNION SELECT ib, ia FROM pairs), " +
+        "r AS (SELECT src AS id, src AS comp FROM e UNION SELECT e.dst, r.comp FROM r JOIN e ON r.id = e.src), " +
+        "lab AS (SELECT id, min(comp) AS component FROM r GROUP BY id), " +
+        "wc AS (SELECT pr.pid, pr.cnt, pr.toks, coalesce(lab.component, pr.pid) AS cluster " +
+        "FROM pr LEFT JOIN lab ON pr.pid = lab.id), " +
+        "pe AS (SELECT cluster, cnt, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM wc), " +
+        "agg AS (SELECT cluster, pos1, min(tok) AS lo, max(tok) AS hi, sum(cnt) AS n FROM pe GROUP BY 1, 2), " +
+        "tpl AS (SELECT cluster, string_agg(CASE WHEN lo = hi THEN lo ELSE '<*>' END, ' ' ORDER BY pos1) AS event_template, " +
+        "max(CASE WHEN pos1 = 1 THEN n END) AS occurrences FROM agg GROUP BY cluster) " +
+        "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
+        "CAST(SUM(occurrences) AS BIGINT) AS occurrences FROM tpl GROUP BY event_template"),
     "lfa_templates" ->
       // LFA replayed relationally: (pos, word) frequencies → per-line
       // largest-relative-gap threshold (max ratio per line, ties → smallest wf,

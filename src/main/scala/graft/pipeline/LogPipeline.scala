@@ -69,11 +69,13 @@ final class MatchCatalog(val drain: DrainTree, val spell: SpellModel) extends Se
   *    count, and clusters of different lengths never interact (every tree operation is
   *    confined to the subtree under `rootNode.childD[seqLen]` —
   *    `Drain/Drain.py::treeSearch/addSeqToPrefixTree`). Therefore mining each length
-  *    group independently, in canonical (url, line_no) order, produces EXACTLY the
-  *    sequential result: we `repartition($"len")` + `sortWithinPartitions` +
-  *    `mapPartitions`, then union the disjoint per-length subtrees on the driver.
-  *    The catalog is invariant to partition count — the keystone of the
-  *    routed-row-equality parity bar.
+  *    group independently, in canonical (url, line_no) order, reproduces the
+  *    sequential result: we `repartition($"len", $"bucket")` (bucket =
+  *    hash(url) % mineSaltBuckets, lifting the #distinct-lengths reducer ceiling
+  *    — round 3) + `sortWithinPartitions` + `mapPartitions`, then merge the
+  *    per-(length, bucket) trees canonically on the driver (bit-exact sequential
+  *    per length at mineSaltBuckets = 1). The catalog is invariant to partition
+  *    count — the keystone of the routed-row-equality parity bar.
   *
   *  - '''MATCH''' — the frozen tree is broadcast; per-line matching is a pure
   *    vectorized map (Drain tree walk, Spell fallback on residue, self-template last),
