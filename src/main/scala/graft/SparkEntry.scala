@@ -312,6 +312,19 @@ object SparkEntry {
     "a4_contingency" -> ((s, dir) =>
       Evaluator.contingency(t(s, dir, "documents")
         .select(col("source").as("event_id"), col("lang").as("gt_id")))),
+    "a5_eval_scores" -> ((s, dir) => {
+      // the evaluator's WHOLE score math (pair precision/recall/F1 + the 1:1
+      // Parsing Accuracy rule) oracled on a deterministic grouping (round 3):
+      // event_id = source vs gt_id = lang. log_eval_scores keeps exercising the
+      // same code over the real pipeline assignment (non-SQL-expressible there).
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val sc = Evaluator.evaluate(t(s, dir, "documents")
+        .select(col("source").as("event_id"), col("lang").as("gt_id")))
+      import s.implicits._
+      Seq((r6(sc.precision), r6(sc.recall), r6(sc.f1), r6(sc.parsingAccuracy), sc.total))
+        .toDF("precision6", "recall6", "f16", "pa6", "total")
+    }),
     "j1_line_join" -> ((s, dir) => {
       // J1: explicit equi-join on the line key (evaluator's implicit align)
       val d = t(s, dir, "documents")
@@ -649,6 +662,25 @@ object SparkEntry {
       "SELECT lang, source, count(*) AS occurrences FROM documents GROUP BY lang, source",
     "a4_contingency" ->
       "SELECT source AS event_id, lang AS gt_id, count(*) AS n FROM documents GROUP BY 1, 2",
+    "a5_eval_scores" ->
+      // pair-counting metrics replayed: TP = Σ C(n,2) over contingency cells,
+      // parsed/real pairs over group sizes, PA = lines in 1:1 groups / total.
+      // Every division is IEEE double over exact integers — bit-reproducible.
+      ("WITH j AS (SELECT source AS event_id, lang AS gt_id FROM documents), " +
+        "cont AS (SELECT event_id, gt_id, count(*) AS n FROM j GROUP BY 1, 2), " +
+        "tp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pairs, CAST(SUM(n) AS BIGINT) AS total FROM cont), " +
+        "gt AS (SELECT gt_id, CAST(SUM(n) AS BIGINT) AS gsize FROM cont GROUP BY 1), " +
+        "rp AS (SELECT CAST(SUM(gsize * (gsize - 1) // 2) AS BIGINT) AS real_pairs FROM gt), " +
+        "pa AS (SELECT event_id, count(DISTINCT gt_id) AS span, CAST(SUM(n) AS BIGINT) AS psize, max(gt_id) AS gt1 FROM cont GROUP BY 1), " +
+        "pp AS (SELECT CAST(SUM(psize * (psize - 1) // 2) AS BIGINT) AS parsed_pairs FROM pa), " +
+        "acc AS (SELECT CAST(coalesce(SUM(psize), 0) AS BIGINT) AS accurate FROM pa JOIN gt ON pa.gt1 = gt.gt_id " +
+        "WHERE pa.span = 1 AND pa.psize = gt.gsize), " +
+        "m AS (SELECT CAST(tp.pairs AS DOUBLE) / pp.parsed_pairs AS p, " +
+        "CAST(tp.pairs AS DOUBLE) / rp.real_pairs AS r, " +
+        "CAST(acc.accurate AS DOUBLE) / tp.total AS pa_v, tp.total AS total " +
+        "FROM tp, rp, pp, acc) " +
+        "SELECT round(p, 6) AS precision6, round(r, 6) AS recall6, " +
+        "round(2 * p * r / (p + r), 6) AS f16, round(pa_v, 6) AS pa6, total FROM m"),
     "j1_line_join" ->
       ("SELECT lang, source, count(*) AS n FROM " +
         "(SELECT a.doc_id, a.lang, b.source FROM documents a JOIN documents b ON a.doc_id = b.doc_id) " +

@@ -21,6 +21,12 @@ import scala.collection.mutable
   *   (templates saturate quickly — Drain is online) and let the match phase cover the
   *   rest, with Spell + self-template as the residue path. None = reference-faithful
   *   full mine (the default for correctness tests).
+  * @param spellMineLimit cap on residue lines mined PER PARTITION by the distributed
+  *   Spell residue mine (round 3 — was a global cap on a driver-side collect);
+  *   overflow lines fall through to the self-template match path.
+  * @param mineSaltBuckets salt width for the FULL mine's (len, hash(url) % nb)
+  *   exchange — lifts the #distinct-lengths reducer ceiling; 1 = bit-exact
+  *   sequential per-length mine. Ignored when mineSampleLimit bounds the exchange.
   */
 final case class PipelineConfig(
     logFormat: String,
