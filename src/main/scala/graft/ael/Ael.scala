@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   *  2. tokenize — bin by (token count, wildcard count);
   *  3. categorize — identical anonymized lines merge into one template;
   *  4. reconcile — template groups in one bin that are identical except at ONE
-  *     position merge into the holed template. Implemented as a single
-  *     leftmost-hole greedy round: each template picks its smallest position
-  *     whose hole signature is shared by ≥ 2 distinct templates, and a merge is
-  *     emitted only where ≥ 2 templates actually chose the same hole (a template
-  *     whose partners merged elsewhere keeps its original form — no lone
-  *     wildcards). The reference applies one such merge pass per bin; fixpoint
-  *     iteration is out of scope and documented rather than approximated.
+  *     position merge into the holed template. Each round is a leftmost-hole
+  *     greedy pass: a template picks its smallest position whose hole signature
+  *     is shared by ≥ 2 distinct templates, and a merge is emitted only where
+  *     ≥ 2 templates actually chose the same hole (a template whose partners
+  *     merged elsewhere keeps its original form — no lone wildcards). Since
+  *     round 3 the pass ITERATES TO FIXPOINT (the reference's reconcile loop):
+  *     merged templates re-bin (their wildcard count grew) and can merge again
+  *     next round; the loop ends when a round merges nothing. Termination is
+  *     structural — every merge strictly reduces the template count — and a
+  *     `maxReconcile` guard fail-stops rather than looping silently.
   *
   * Stages 1–3 are a map + one aggregation; stage 4 operates on template GROUPS
   * (post-categorize cardinality, orders of magnitude below row count), so its
@@ -38,17 +41,15 @@ object Ael {
         .when(t.rlike("[0-9]"), lit(Wildcard))
         .otherwise(t))
 
-  /** Mine the reconciled catalog: (event_template, occurrences). */
-  def mineTemplates(lines: DataFrame, lineCol: String): DataFrame = {
-    // stages 1–3: anonymize per token, bin, categorize
-    val cat = lines
-      .select(anonymizeTokens(split(trim(col(lineCol)), "\\s+")).as(("pieces")))
+  /** One leftmost-hole reconcile round over a `(pieces, occurrences)` template
+    * table; bins (len, nwild) are recomputed from the pieces so merged templates
+    * re-bin correctly between rounds.
+    */
+  private def reconcileOnce(templates: DataFrame): DataFrame = {
+    val cat = templates
       .withColumn("len", size(col("pieces")))
       .withColumn("nwild", size(filter(col("pieces"),
         p => p === Wildcard || p.endsWith("=<*>"))))
-      .groupBy(col("len"), col("nwild"), col("pieces"))
-      .agg(count(lit(1)).as("occurrences"))
-
     // stage 4: hole signatures over template groups
     val holes = cat
       .select(col("len"), col("nwild"), col("pieces"), col("occurrences"),
@@ -77,14 +78,43 @@ object Ael {
         sum(col("occurrences")).as("occ"),
         // deterministic fallback when the group turns out to be a lone chooser
         min(col("pieces")).as("lone_pieces"))
-      .withColumn("out_pieces",
+      .withColumn("pieces",
         when(col("p_chosen").isNotNull && col("ntpl") >= 2, col("merged"))
           .otherwise(col("lone_pieces")))
-      .groupBy(concat_ws(" ", col("out_pieces")).as("event_template"))
+      .groupBy(col("pieces"))
       .agg(sum(col("occ")).as("occurrences"))
   }
 
+  /** Mine the reconciled catalog: (event_template, occurrences). */
+  def mineTemplates(lines: DataFrame, lineCol: String,
+                    maxReconcile: Int = 20): DataFrame = {
+    // stages 1–3: anonymize per token, bin, categorize
+    var cat = lines
+      .select(anonymizeTokens(split(trim(col(lineCol)), "\\s+")).as("pieces"))
+      .groupBy(col("pieces"))
+      .agg(count(lit(1)).as("occurrences"))
+      .localCheckpoint(true)
+    // stage 4 to fixpoint: every merge strictly reduces the template count, so
+    // equality means the round merged nothing. localCheckpoint per round stops
+    // the plan growing with the iteration (same trap as connectedComponents).
+    var n = cat.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxReconcile) {
+      val next = reconcileOnce(cat).localCheckpoint(true)
+      val n2 = next.count()
+      converged = n2 == n
+      cat = next; n = n2; iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"AEL reconcile did not reach a fixpoint in $maxReconcile rounds")
+    cat.groupBy(concat_ws(" ", col("pieces")).as("event_template"))
+      .agg(sum(col("occurrences")).as("occurrences"))
+  }
+
   /** [[mineTemplates]] plus the engine's md5-prefix event id. */
-  def mineCatalog(lines: DataFrame, lineCol: String): DataFrame =
-    graft.miner.MinerOutput.withEventId(mineTemplates(lines, lineCol))
+  def mineCatalog(lines: DataFrame, lineCol: String,
+                  maxReconcile: Int = 20): DataFrame =
+    graft.miner.MinerOutput.withEventId(mineTemplates(lines, lineCol, maxReconcile))
 }

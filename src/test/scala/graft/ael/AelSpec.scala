@@ -42,6 +42,15 @@ class AelSpec extends SparkSuite {
     assert(m == Map("conn <*> up" -> 2L, "<*> down up" -> 2L))
   }
 
+  test("reconcile iterates to fixpoint: merged templates re-bin and merge again") {
+    // round 1: (a b x, a c x) -> "a <*> x", (a b y, a c y) -> "a <*> y";
+    // round 2: the two merged templates now share bin (len 3, nwild 1) and
+    // differ at ONE position -> "a <*> <*>"; round 3 merges nothing -> fixpoint.
+    // A single greedy round would have stopped at {"a <*> x", "a <*> y"}.
+    val m = mined(Seq("a b x", "a b y", "a c x", "a c y"))
+    assert(m == Map("a <*> <*>" -> 4L))
+  }
+
   test("deterministic under repartition") {
     val lines = (0 until 200).map(i => s"evt type${i % 4} stage${i % 5} end")
     val a = Ael.mineTemplates(lines.toDF("line").repartition(11), "line")
