@@ -71,6 +71,31 @@ object Multimodal {
     slice(sequence(lit(0L), greatest(length(col(binCol)).cast("long") - 1, lit(0L)),
       lit(stride.toLong)), 1, maxFrames)
 
+  /** Stub "resize": deterministic byte-level downsample standing in for a real
+    * image resize (STUB BOUNDARY above — a real deployment swaps the sampling
+    * loop for a codec call with the same signature). Output byte i = input byte
+    * ⌊i·len/m⌋ with m = min(targetW·targetH/16, len); metadata carries the target
+    * dims. The Spark-side plumbing is the real part: batched binary→binary
+    * per-partition map, BinaryType in and out.
+    */
+  def resizeBinary(df: DataFrame, urlCol: String, binCol: String,
+                   targetW: Int, targetH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = math.max(1, targetW * targetH / 16)
+    df.select(col(urlCol), col(binCol)).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (url, bytesRaw) =>
+          val bytes = if (bytesRaw == null) Array.empty[Byte] else bytesRaw
+          val m = if (bytes.isEmpty) 0 else math.min(n, bytes.length)
+          val out = new Array[Byte](m)
+          var i = 0
+          while (i < m) { out(i) = bytes(((i.toLong * bytes.length) / m).toInt); i += 1 }
+          (url, out, targetW, targetH)
+        }
+      }.toDF(urlCol, "resized", "width", "height")
+  }
+
   /** Feature table keyed for downstream ANN joins (url → features). */
   def featureTable(spark: SparkSession, pages: DataFrame, dim: Int = 32): DataFrame =
     decodeFeatures(pages, "url", "html", new StubDecoder(dim)).toDF()

@@ -278,6 +278,25 @@ class OpsSpec extends SparkSuite {
     assert(out(3L) == Seq(0L)) // empty payload clamps to offset 0
   }
 
+  test("multimodal: stub resize downsamples deterministically with target metadata") {
+    val d = Seq(("u1", (0 until 1000).map(_.toByte).toArray),
+      ("u2", Array[Byte](1, 2, 3)), ("u3", Array.empty[Byte]),
+      ("u4", null.asInstanceOf[Array[Byte]])).toDF("url", "html")
+    val out = Multimodal.resizeBinary(d, "url", "html", targetW = 16, targetH = 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3)))).toMap
+    // 16*16/16 = 16 output bytes, sampled evenly: byte i = input[floor(i*1000/16)]
+    assert(out("u1")._1.length == 16)
+    assert(out("u1")._1(0) == 0.toByte && out("u1")._1(15) == (15 * 1000 / 16).toByte)
+    assert(out("u1")._2 == 16 && out("u1")._3 == 16)
+    assert(out("u2")._1.toSeq == Seq[Byte](1, 2, 3)) // shorter than target: kept whole
+    assert(out("u3")._1.isEmpty && out("u4")._1.isEmpty)
+    // deterministic across partitionings
+    val again = Multimodal.resizeBinary(d.repartition(3), "url", "html", 16, 16)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(again == out.map { case (k, v) => k -> v._1.toSeq })
+  }
+
   test("evaluator: perfect parse scores 1.0 PA / F1, split-group penalizes PA") {
     val perfect = Seq(("a", "g1"), ("a", "g1"), ("b", "g2"), ("b", "g2"))
       .toDF("event_id", "gt_id")

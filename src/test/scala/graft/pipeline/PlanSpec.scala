@@ -114,6 +114,15 @@ class PlanSpec extends SparkSuite {
     val lc = graft.logcluster.LogCluster.mineTemplates(lines, "line", 50)
       .queryExecution.executedPlan.toString
     assert(!lc.contains("CartesianProduct"), lc)
+    val lfa = graft.lfa.Lfa.mineTemplates(lines, "line")
+      .queryExecution.executedPlan.toString
+    assert(!lfa.contains("CartesianProduct"), lfa)
+    val lenma = graft.lenma.LenMa.mineTemplates(lines, "line")
+      .queryExecution.executedPlan.toString
+    assert(!lenma.contains("CartesianProduct"), lenma)
+    val lm = graft.logmine.LogMine.mineTemplates(lines, "line", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!lm.contains("CartesianProduct"), lm) // band equi-join, never all-pairs
   }
 
   test("approx_count_distinct (the 10^12-scale metrics stat) lands within 10% of exact") {
