@@ -112,6 +112,20 @@ object StreamingMatch {
       }
   }
 
+  /** Streaming exact dedup — the training-data curation primitive on the stream
+    * path: keep the FIRST page per content fingerprint, with WATERMARKED state
+    * cleanup (`dropDuplicatesWithinWatermark`) so dedup state is bounded by the
+    * event-time horizon instead of growing with the corpus — the knob that makes
+    * streaming dedup viable at 10^12 docs (exact global dedup belongs to the
+    * batch path, [[graft.dedup.Dedup.exactDedup]]). State is hash-partitioned on
+    * the fingerprint — the same one-shuffle layout as the batch dedup.
+    */
+  def dedupStream(pages: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    pages
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Streaming routed sink: the per-template-cluster fan-out as an exactly-once
     * parquet file sink (`partitionBy(event_id)`), checkpointed. Restarting a query
     * with the SAME checkpointLocation resumes from the last committed micro-batch —

@@ -145,4 +145,23 @@ class StreamingSpec extends SparkSuite {
     val first = nonEmpty.head._2.map { case (_, tpl, n) => (tpl, n) }.toMap
     assert(first("start job <*>") == 10L && first("conn peer reset now") == 4L)
   }
+
+  test("streaming dedup keeps one page per content hash within the watermark") {
+    val pages = WebPagesGen.pages(spark, 60L).toDF()
+    // duplicate every 3rd page under a fresh url, same text and timestamp band
+    val withDups = pages.unionByName(
+      pages.filter(col("url").endsWith("0"))
+        .withColumn("url", concat(col("url"), lit("-copy"))))
+    val dir = Files.createTempDirectory("graft_stream_dedup").toString
+    withDups.write.mode("append").parquet(dir)
+
+    StreamingMatch.runToMemory(
+      StreamingMatch.dedupStream(StreamingMatch.readPages(spark, dir))
+        .select("url", "content_hash"),
+      "dedup_out", OutputMode.Append())
+    val out = spark.table("dedup_out")
+    val distinctHashes = withDups.select(md5(col("text"))).distinct().count()
+    assert(out.count() == distinctHashes, "exactly one survivor per content hash")
+    assert(out.select("content_hash").distinct().count() == distinctHashes)
+  }
 }
