@@ -512,6 +512,19 @@ object SparkEntry {
         .select("url", "kind", "byte_len", "content_hash", "width", "height")
     }),
 
+    "mm_frames" -> ((s, dir) => {
+      // frame-sampling plan (video-like payloads): deterministic stride offsets
+      // as a pure column expression over the synthesized binary column
+      val media = t(s, dir, "documents").select(
+        col("doc_id"),
+        encode(concat(lit("<html><body>"), col("text"), lit("</body></html>")), "UTF-8")
+          .as("html"))
+      media.select(col("doc_id"),
+        concat_ws(",", transform(
+          Multimodal.frameSampleOffsets("html", stride = 1000, maxFrames = 4),
+          x => x.cast("string"))).as("offsets"))
+    }),
+
     // ---------- events (agg / window / json / sessionize) ---------------------
     "e_type_agg" -> ((s, dir) =>
       t(s, dir, "events").groupBy("event_type").agg(
@@ -1032,6 +1045,12 @@ object SparkEntry {
         "CAST(octet_length(encode(b)) AS BIGINT) AS byte_len, md5(b) AS content_hash, " +
         "CAST(16 + octet_length(encode(b)) % 1024 AS INTEGER) AS width, " +
         "CAST(16 + octet_length(encode(b)) % 768 AS INTEGER) AS height " +
+        "FROM (SELECT doc_id, '<html><body>' || text || '</body></html>' AS b FROM documents)"),
+    "mm_frames" ->
+      // byte offsets every `stride` bytes up to maxFrames, replayed over the
+      // same UTF-8 byte length; sequence() end is inclusive, range() exclusive
+      ("SELECT doc_id, array_to_string(list_transform(" +
+        "range(0, GREATEST(octet_length(encode(b)) - 1, 0) + 1, 1000)[1:4], x -> CAST(x AS VARCHAR)), ',') AS offsets " +
         "FROM (SELECT doc_id, '<html><body>' || text || '</body></html>' AS b FROM documents)"),
     "d_exact_groups" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM " +
