@@ -202,6 +202,10 @@ object Bench {
       runs4n += timedRun(nHigh, "4n")
       runs4n += timedRun(nHigh, "4n")
     }
+    // honesty marker: budget expiry can stop the loop before MinReps/convergence
+    // on a pathologically slow host; the JSON then says so instead of passing the
+    // partial measurement off as a converged one
+    val didConverge = runsN.size >= MinReps && converged(runsN) && converged(runs4n)
     val t4n = supportedFloor(runs4n)
     val d4n = scalePages / t4n
     val tn = supportedFloor(runsN)
@@ -232,7 +236,7 @@ object Bench {
     val total = results.map(_._2).sum
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":$failedJson,"sf":"$sfDir","pipeline_docs_per_sec":$d4n%.1f,"scaling":{"cpus_n":$nLow,"docs_per_sec_n":$dn%.1f,"cpus_4n":$nHigh,"docs_per_sec_4n":$d4n%.1f,"efficiency":$eff%.3f,"runs_n_sec":${arr(runsN)},"runs_4n_sec":${arr(runs4n)}},"pages":$scalePages}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":$failedJson,"sf":"$sfDir","pipeline_docs_per_sec":$d4n%.1f,"scaling":{"cpus_n":$nLow,"docs_per_sec_n":$dn%.1f,"cpus_4n":$nHigh,"docs_per_sec_4n":$d4n%.1f,"efficiency":$eff%.3f,"converged":$didConverge,"runs_n_sec":${arr(runsN)},"runs_4n_sec":${arr(runs4n)}},"pages":$scalePages}""")
     spark.stop()
   }
 }

@@ -371,28 +371,42 @@ object Dedup {
     * join side, so a true pair is missed only when the perturbation flips ≥2 plane
     * signs (a near-dup pair sits close to a plane with probability ~angle/π per
     * plane, so one flip is the dominant failure mode — round 3 measured exactly one
-    * such miss without probing). Cost: (planes+1)× rows on one side, ids+bucket
-    * only — linear, never quadratic. 0 disables probing (exact-bucket join).
+    * such miss without probing). Only 0 (exact-bucket join) and 1 are implemented —
+    * higher flip counts would need C(planes, k) probe combinations and are
+    * rejected rather than silently behaving like 1.
+    *
+    * Shuffle shape: the probe explode and the band join carry (bucket, id) ONLY —
+    * the dim-wide vectors are re-joined onto the deduplicated candidate pairs
+    * afterwards (two hash joins), the same staging as minhashDupPairs step 4.
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, planes: Int = 0,
                         threshold: Double = 0.95,
                         probeFlips: Int = 1): DataFrame = {
+    require(probeFlips == 0 || probeFlips == 1,
+      s"probeFlips=$probeFlips: only 0 (no probing) or 1 (single-bit) is implemented")
     val p = if (planes > 0) planes else graft.sim.Ann.autoPlanes(df.count())
     val sig = graft.sim.Ann.hyperplaneSignature(col(vecCol), dim, p)
     val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes =
-      if (probeFlips >= 1)
+      if (probeFlips == 1)
         array(Seq(col("bucket")) ++
           (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
       else array(col("bucket"))
-    val a = withSig.select(explode(probes).as("bucket"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b") // a pair can match via several probe buckets
+    val a = withSig.select(explode(probes).as("bucket"), col("id").as("id_a"))
+    val b = withSig.select(col("bucket"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // a pair can match via several probe buckets
+    val out = cand
+      .join(withSig.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", graft.sim.Ann.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .localCheckpoint(true)
+    withSig.unpersist()
+    out
   }
 }

@@ -18,11 +18,11 @@ import org.apache.spark.sql.functions._
   * positions; classify each (t1, t2) value pair by its mapping relation —
   * m2(t2)=1 ⇒ 1-1 or 1-M (key the partition split on t1), m1(t1)=1 ∧ m2>1 ⇒ M-1
   * (key on t2), else M-M (all such lines stay together in one sub-partition, the
-  * paper's M-M rule). The reference's CT / upper-bound / lower-bound heuristic
-  * knobs (which GATE whether a partition enters step 3 and which side of a 1-M
-  * splits) are not pinned by the north_rule and are deliberately not emulated —
-  * every eligible partition takes the split, with the mapping classification
-  * itself faithful.
+  * paper's M-M rule). The paper's cluster-goodness gate IS emulated (`ct`,
+  * reference default 0.35: a partition whose single-valued-position ratio is
+  * already >= ct is "good" and skips step 3); the upper/lower-bound side knobs
+  * for choosing which side of a 1-M splits are not pinned by the north_rule and
+  * are deliberately not emulated — the mapping classification itself is faithful.
   *
   * Why this miner exists next to Drain/Spell: it is FULLY declarative. Drain and
   * Spell are online algorithms (sequential state, order-dependent); IPLoM's steps
@@ -35,7 +35,6 @@ import org.apache.spark.sql.functions._
   */
 object Iplom {
 
-  private val Wildcard = "<*>"
 
   /** Mine templates from a string column of log lines.
     *
@@ -128,24 +127,11 @@ object Iplom {
           .otherwise(lit(" MM")))) // M-M: one sub-partition
       .select("pkey", "toks")
 
-    // step 4: per partition, a position is constant iff it has exactly one distinct
-    // token. min(tok) == max(tok) detects that without a count_distinct per cell.
-    val templates = mapped
-      .select(col("pkey"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .groupBy("pkey", "pos")
-      .agg(min(col("tok")).as("lo"), max(col("tok")).as("hi"),
-        count(lit(1)).as("n"))
-      .withColumn("piece", when(col("lo") === col("hi"), col("lo")).otherwise(lit(Wildcard)))
-      .groupBy("pkey")
-      .agg(
-        concat_ws(" ", array_sort(collect_list(struct(col("pos"), col("piece"))))
-          .getField("piece")).as("event_template"),
-        // every position of a row appears once, so rows-per-partition = n at pos 0
-        max(when(col("pos") === 0, col("n"))).as("occurrences"))
-
-    templates
-      .groupBy("event_template")
-      .agg(sum("occurrences").as("occurrences"))
+    // step 4: per partition, a position is constant iff it has exactly one
+    // distinct token — the shared agreement assembly (weight 1 per raw line)
+    graft.miner.MinerOutput.agreementTemplates(
+      mapped.select(col("pkey").as("ckey"), lit(1L).as("w"),
+        posexplode(col("toks")).as(Seq("pos", "tok"))))
   }
 
   /** [[mineTemplates]] plus the md5-prefix event id used across the engine. */

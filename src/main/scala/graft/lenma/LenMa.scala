@@ -29,7 +29,6 @@ import org.apache.spark.sql.functions._
   */
 object LenMa {
 
-  private val Wildcard = "<*>"
 
   /** Mine the template catalog: (event_template, occurrences). */
   def mineTemplates(lines: DataFrame, lineCol: String): DataFrame = {
@@ -38,20 +37,9 @@ object LenMa {
       .withColumn("lkey", concat_ws(",",
         transform(col("toks"), t => length(t).cast("string"))))
 
-    toks
-      .select(col("lkey"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .groupBy("lkey", "pos")
-      .agg(min(col("tok")).as("lo"), max(col("tok")).as("hi"),
-        count(lit(1)).as("n"))
-      .withColumn("piece",
-        when(col("lo") === col("hi"), col("lo")).otherwise(lit(Wildcard)))
-      .groupBy("lkey")
-      .agg(
-        concat_ws(" ", array_sort(collect_list(struct(col("pos"), col("piece"))))
-          .getField("piece")).as("event_template"),
-        max(when(col("pos") === 0, col("n"))).as("occurrences"))
-      .groupBy("event_template")
-      .agg(sum("occurrences").as("occurrences"))
+    graft.miner.MinerOutput.agreementTemplates(
+      toks.select(col("lkey").as("ckey"), lit(1L).as("w"),
+        posexplode(col("toks")).as(Seq("pos", "tok"))))
   }
 
   /** [[mineTemplates]] plus the engine's md5-prefix event id. */

@@ -34,7 +34,6 @@ import org.apache.spark.sql.functions._
   */
 object LogMine {
 
-  private val Wildcard = "<*>"
 
   /** Mine the template catalog: (event_template, occurrences). */
   def mineTemplates(lines: DataFrame, lineCol: String, maxDist: Double = 0.3): DataFrame = {
@@ -83,20 +82,11 @@ object LogMine {
       .join(labeled.withColumnRenamed("id", "pid"), Seq("pid"), "left")
       .withColumn("cluster", coalesce(col("component"), col("pid")))
 
-    // per cluster: positionwise agreement -> constant, else wildcard
-    withCluster
-      .select(col("cluster"), col("cnt"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .groupBy("cluster", "pos")
-      .agg(min(col("tok")).as("lo"), max(col("tok")).as("hi"),
-        sum(col("cnt")).as("n"))
-      .withColumn("piece", when(col("lo") === col("hi"), col("lo")).otherwise(lit(Wildcard)))
-      .groupBy("cluster")
-      .agg(
-        concat_ws(" ", array_sort(collect_list(struct(col("pos"), col("piece"))))
-          .getField("piece")).as("event_template"),
-        max(when(col("pos") === 0, col("n"))).as("occurrences"))
-      .groupBy("event_template")
-      .agg(sum("occurrences").as("occurrences"))
+    // per cluster: positionwise agreement -> constant, else wildcard (shared
+    // assembly; weight = the level-0 pattern multiplicity)
+    graft.miner.MinerOutput.agreementTemplates(
+      withCluster.select(col("cluster").as("ckey"), col("cnt").as("w"),
+        posexplode(col("toks")).as(Seq("pos", "tok"))))
   }
 
   /** [[mineTemplates]] plus the engine's md5-prefix event id. */

@@ -213,20 +213,27 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
   /** Spell residue mine: lines the frozen Drain tree cannot match. DISTRIBUTED
     * since round 3 (was a driver-side `.collect()` + sequential mine — VERDICT r2
     * "What's wrong" #3): residue rows are hash-partitioned by url, each partition
-    * mines online Spell in canonical (url, line_no) order inside
-    * [[graft.spell.SpellAggregator]] (capped at `spellMineLimit` lines per
-    * partition; the overflow falls through to the self-template match path), and
-    * only O(#clusters) partial models cross the wire, merged canonically. At one
-    * shuffle partition this is bit-identical to the old sequential mine
-    * (SpellSpec pins it); at higher parallelism it is grouping-grade
-    * reproducible, the same contract as DrainAggregator.
+    * mines online Spell in canonical (url, line_no) order (capped at
+    * `spellMineLimit` lines per partition; the overflow falls through to the
+    * self-template match path), and only O(#clusters) partial models cross the
+    * wire — collected WITH their partition ids and merged canonically in
+    * ASCENDING partition order on the driver. Pinning the merge order matters:
+    * `canonicalMerge` is commutative but not associative, and a shuffle-arrival
+    * merge tree (what an ungrouped Aggregator gets) would make the mined catalog
+    * run-to-run nondeterministic. Partition membership is a pure function of
+    * hash(url), so the whole mine is deterministic for a fixed partition count;
+    * at ONE shuffle partition it is bit-identical to the old sequential mine
+    * (SpellAggregatorSpec pins both). [[graft.spell.SpellAggregator]] remains the
+    * §2.8 Aggregator-API surface with DrainAggregator's weaker merge-tree
+    * contract.
     */
   def mineSpellResidue(masked: DataFrame, drain: DrainTree): SpellModel = {
     val spark = masked.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(drain)
-    val agg = new graft.spell.SpellAggregator(cfg.tau, cfg.spellMineLimit)
-    masked.filter(col("parsed"))
+    val tauL = cfg.tau
+    val limitL = cfg.spellMineLimit
+    val partials: Array[(Int, Array[Byte])] = masked.filter(col("parsed"))
       .select(col("url"), col("line_no"), col("masked"))
       .as[(String, Int, String)]
       .filter { r => bc.value.search(RexCompiler.tokenize(r._3)) == null }
@@ -234,9 +241,16 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
       .repartition(col("url")) // hash, not range: range sampling would re-run the residue filter scan
       .sortWithinPartitions("url", "line_no")
       .as[(String, Int, String)]
-      .map(r => RexCompiler.tokenizeSpell(r._3))
-      .select(agg.toColumn)
-      .head()
+      .mapPartitions { it =>
+        val m = new SpellModel(tauL)
+        it.foreach { r =>
+          if (m.minedLines < limitL) m.add(RexCompiler.tokenizeSpell(r._3))
+        }
+        if (m.clusterList.isEmpty) Iterator.empty
+        else Iterator((org.apache.spark.TaskContext.getPartitionId(), serialize(m)))
+      }.collect()
+    partials.sortBy(_._1).map(p => deserialize[SpellModel](p._2))
+      .foldLeft(new SpellModel(cfg.tau))((acc, m) => acc.canonicalMerge(m))
   }
 
   // ---- MATCH ---------------------------------------------------------------

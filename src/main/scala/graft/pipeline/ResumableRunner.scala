@@ -91,9 +91,35 @@ object ResumableRunner {
     dir
   }
 
+  /** Fail-stop on parameter drift (round-3 review fix): the RESUME STATE — chunk
+    * done-tags in the routed manifest, catalog.bin, control sinks — is keyed by
+    * `outDir` alone, so resuming one outDir with a different nPages/nChunks would
+    * skip chunks whose url-hash universe changed (silent row loss/duplication)
+    * and reuse a catalog mined from the old corpus. An outDir is a (nPages,
+    * nChunks)-bound job; anything else must be a new outDir.
+    */
+  private def checkParams(spark: SparkSession, outDir: String,
+                          nPages: Long, nChunks: Int): Unit = {
+    val path = new Path(outDir, "run_params.txt")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = s"nPages=$nPages\nnChunks=$nChunks\n"
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      require(got == want,
+        s"outDir $outDir was started with different parameters:\n$got" +
+          s"a resume must reuse them (got nPages=$nPages nChunks=$nChunks); " +
+          "use a fresh outDir to change them")
+    } else {
+      val out = fs.create(path, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   def run(spark: SparkSession, cfg: PipelineConfig, nPages: Long, outDir: String,
           nChunks: Int = 4, failAfterChunk: Option[Int] = None,
           failBeforeRoutedCommit: Option[Int] = None): RunReport = {
+    checkParams(spark, outDir, nPages, nChunks)
     val p = new LogPipeline(cfg)
     val pages = WebPagesGen.pages(spark, nPages).toDF()
     val catalog = catalogFor(spark, cfg, pages, outDir)

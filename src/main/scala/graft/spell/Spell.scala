@@ -210,11 +210,14 @@ final class SpellModel(val tau: Double = 0.5) extends Serializable {
     * DrainAggregator.
     */
   def canonicalMerge(other: SpellModel): SpellModel = {
-    // empty-side shortcut: merging with an empty partial is the IDENTITY (not a
+    // Empty-side shortcut: merging with an empty partial is the IDENTITY (not a
     // replay), so a residue that lands in one partition stays bit-identical to
-    // the sequential mine however many empty partials surround it
-    if (other.clusterList.isEmpty) { minedLines += other.minedLines; return this }
-    if (clusterList.isEmpty) { other.minedLines += minedLines; return other }
+    // the sequential mine however many empty partials surround it. The NON-EMPTY
+    // operand is returned AS-IS (aliased, not copied) — fine for single-use
+    // aggregation buffers, and an empty model always has minedLines == 0 (add()
+    // is the only incrementer and always lands a cluster), so no count is lost.
+    if (other.clusterList.isEmpty) return this
+    if (clusterList.isEmpty) return other
     val m = new SpellModel(tau)
     (clusterList ++ other.clusterList)
       .sortBy(c => (c.templateStr, c.count))

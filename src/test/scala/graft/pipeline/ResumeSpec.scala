@@ -111,6 +111,22 @@ class ResumeSpec extends SparkSuite {
     assert(tpl2 == routedRows)
   }
 
+  test("resuming an outDir with different params fail-stops instead of corrupting") {
+    val dir = Files.createTempDirectory("graft_resume_params").toString
+    ResumableRunner.run(spark, cfg, N, dir, nChunks = 2)
+    // chunk done-tags / catalog / sinks are keyed by outDir: a resume with a
+    // different chunking or corpus size would silently skip or duplicate rows,
+    // so it must throw (round-3 review fix)
+    intercept[IllegalArgumentException] {
+      ResumableRunner.run(spark, cfg, N, dir, nChunks = 4)
+    }
+    intercept[IllegalArgumentException] {
+      ResumableRunner.run(spark, cfg, N * 2, dir, nChunks = 2)
+    }
+    // same params resume stays a no-op
+    assert(ResumableRunner.run(spark, cfg, N, dir, nChunks = 2).chunksRun.isEmpty)
+  }
+
   test("chunk input is partition-pruned: a chunk's scan reads only its slice") {
     val dir = Files.createTempDirectory("graft_resume_prune").toString
     ResumableRunner.run(spark, cfg, N, dir, nChunks = 4)
