@@ -65,6 +65,10 @@ object Iplom {
     // step 2, iterated: split on the lowest-cardinality position with >1 distinct
     // token. Positions with a single distinct value are already constant (splitting
     // on them is a no-op), and a partition with no multi-valued position is final.
+    // materialized once: the refined rows feed FOUR branches (cards3, withPair,
+    // and m1/m2 through it) — unmaterialized, Catalyst re-evaluates the whole
+    // step-2 lineage (two shuffles per refinement) per branch (the
+    // CollapseProject re-evaluation trap, round-2 lesson)
     val refined = (1 to refinements).foldLeft(toks) { (df, _) =>
       val cards = df
         .select(col("pkey"), posexplode(col("toks")).as(Seq("pos", "tok")))
@@ -79,7 +83,7 @@ object Iplom {
             concat(col("pkey"), lit(" "),
               element_at(col("toks"), col("split_pos") + 1))))
         .drop("split_pos")
-    }
+    }.localCheckpoint(true)
 
     // step 3: bijection-mapping split (see class doc), GATED by the paper's
     // cluster-goodness test: a partition enters step 3 only when
@@ -107,6 +111,9 @@ object Iplom {
       .agg(max(when(col("rn") === 1, col("pos"))).as("p1"),
         max(when(col("rn") === 2, col("pos"))).as("p2"))
       .filter(col("p2").isNotNull)
+    // withPair stays LAZY: its three consumers (m1, m2, mapped) re-evaluate only
+    // the cheap join+projection over the materialized `refined` — and keeping it
+    // declarative leaves the explicit broadcast(pp) visible in the plan
     val withPair = refined.join(broadcast(pp), Seq("pkey"), "left")
       .withColumn("t1", when(col("p1").isNotNull, element_at(col("toks"), col("p1") + 1)))
       .withColumn("t2", when(col("p2").isNotNull, element_at(col("toks"), col("p2") + 1)))

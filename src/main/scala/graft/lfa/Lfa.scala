@@ -39,7 +39,10 @@ object Lfa {
   def mineTemplates(lines: DataFrame, lineCol: String): DataFrame = {
     val pe = graft.miner.MinerOutput.explodedTokens(lines, lineCol)
     val freq = pe.groupBy("pos", "tok").agg(count(lit(1)).as("wf"))
-    val marked = pe.join(freq, Seq("pos", "tok"))
+    // materialized once: `marked` feeds the threshold branch AND the final
+    // assembly join — unmaterialized, the tokenize+frequency join re-runs per
+    // branch (CollapseProject re-evaluation trap)
+    val marked = pe.join(freq, Seq("pos", "tok")).localCheckpoint(true)
 
     // largest-RELATIVE-gap split per line: order the line's tokens by frequency
     // descending; ratio_i = wf_i / wf_{i+1} (1.0 for the last row). The split
