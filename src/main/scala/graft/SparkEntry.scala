@@ -268,6 +268,32 @@ object SparkEntry {
       graft.lenma.LenMa.mineCatalog(lines, "line")
     }),
 
+    "shiso_templates" -> ((s, dir) => {
+      // tenth miner (SHISO char-class composition vectors, deterministic exact
+      // instance): tokens cluster by (upper, lower, digit, other) count
+      // signatures — "u7" and "u123" land in different clusters (digit count
+      // differs), disagreeing positions inside a cluster wildcard
+      val lines = t(s, dir, "events").select(
+        concat(col("event_type"), lit(" u"), col("user_id").cast("string"),
+          lit(" v"), round(col("value") * 100).cast("long").cast("string")).as("line"))
+      graft.shiso.Shiso.mineCatalog(lines, "line")
+    }),
+
+    "lke_templates" -> ((s, dir) => {
+      // eleventh miner (LKE distance graph → learned 2-means threshold →
+      // components → private-content splitting). The 8-char type prefix makes the
+      // distance histogram cleanly bimodal (intra ≤ 2 digit edits, inter ≥ 8), the
+      // job column (cardinality 3 ≤ splitThreshold 4) splits, the u column
+      // (cardinality 5 > 4) wildcards — this corpus reaches the split fixpoint in
+      // one effective round, which the one-round-unrolled SQL oracle mirrors (the
+      // multi-round loop is exercised by LkeSpec)
+      val lines = t(s, dir, "events").select(
+        concat(repeat(substring(col("event_type"), 1, 1), 8),
+          lit(" u"), (col("user_id") % 5).cast("string"),
+          lit(" job "), (col("user_id") % 3).cast("string")).as("line"))
+      graft.lke.Lke.mineCatalog(lines, "line")
+    }),
+
     "log_spell_templates" -> ((s, dir) => {
       // Spell as the PRIMARY miner (reference ships it as a full parser) —
       // DISTRIBUTED since round 3: an empty Drain tree makes every parsed line
@@ -872,6 +898,76 @@ object SparkEntry {
         "max(CASE WHEN pos1 = 1 THEN n END) AS occurrences FROM agg GROUP BY lkey) " +
         "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
         "CAST(SUM(occurrences) AS BIGINT) AS occurrences FROM tpl GROUP BY event_template"),
+    "shiso_templates" ->
+      // SHISO replayed relationally: cluster key = per-token char-class count
+      // signature sequence (u:l:d:o); a position is constant iff min(tok) =
+      // max(tok) within the cluster ('g' flag: DuckDB regexp_replace is
+      // first-match-only by default, Spark's replaces all)
+      ("WITH lines AS (SELECT event_type || ' u' || CAST(user_id AS VARCHAR) || ' v' || " +
+        "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS line FROM events), " +
+        "pat AS (SELECT trim(line) AS p, count(*) AS cnt FROM lines GROUP BY 1), " +
+        "k AS (SELECT cnt, string_split_regex(p, '\\s+') AS toks FROM pat), " +
+        "k2 AS (SELECT cnt, toks, array_to_string(list_transform(toks, x -> " +
+        "CAST(length(regexp_replace(x, '[^A-Z]', '', 'g')) AS VARCHAR) || ':' || " +
+        "CAST(length(regexp_replace(x, '[^a-z]', '', 'g')) AS VARCHAR) || ':' || " +
+        "CAST(length(regexp_replace(x, '[^0-9]', '', 'g')) AS VARCHAR) || ':' || " +
+        "CAST(length(x) - length(regexp_replace(x, '[^A-Z]', '', 'g')) - " +
+        "length(regexp_replace(x, '[^a-z]', '', 'g')) - " +
+        "length(regexp_replace(x, '[^0-9]', '', 'g')) AS VARCHAR)), ',') AS ckey FROM k), " +
+        "pe AS (SELECT ckey, cnt, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM k2), " +
+        "agg AS (SELECT ckey, pos1, min(tok) AS lo, max(tok) AS hi, sum(cnt) AS n FROM pe GROUP BY 1, 2), " +
+        "tpl AS (SELECT ckey, string_agg(CASE WHEN lo = hi THEN lo ELSE '<*>' END, ' ' ORDER BY pos1) AS event_template, " +
+        "max(CASE WHEN pos1 = 1 THEN n END) AS occurrences FROM agg GROUP BY ckey) " +
+        "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
+        "CAST(SUM(occurrences) AS BIGINT) AS occurrences FROM tpl GROUP BY event_template"),
+    "lke_templates" ->
+      // LKE replayed relationally: all-pairs levenshtein on distinct lines →
+      // closed-form 1-D 2-means threshold (cumulative-moment SSE scan, all
+      // doubles converted from exact longs so every comparison is bit-identical
+      // to the engine) → recursive-CTE components → ONE private-content split
+      // round (this corpus reaches fixpoint after it; LkeSpec drives multi-round)
+      ("WITH RECURSIVE lines AS (SELECT repeat(substr(event_type, 1, 1), 8) || ' u' || " +
+        "CAST(user_id % 5 AS VARCHAR) || ' job ' || CAST(user_id % 3 AS VARCHAR) AS line FROM events), " +
+        "pat AS (SELECT trim(line) AS p, count(*) AS cnt FROM lines GROUP BY 1), " +
+        "pr AS (SELECT row_number() OVER (ORDER BY p) AS pid, p, cnt, " +
+        "string_split_regex(p, '\\s+') AS toks FROM pat), " +
+        "pairs AS (SELECT a.pid AS ia, b.pid AS ib, levenshtein(a.p, b.p) AS dist " +
+        "FROM pr a, pr b WHERE a.pid < b.pid), " +
+        "dv AS (SELECT dist, count(*) AS w FROM pairs GROUP BY dist), " +
+        "o AS (SELECT dist, sum(w) OVER wo AS cn, sum(w * dist) OVER wo AS cs, " +
+        "sum(w * dist * dist) OVER wo AS cq, sum(w) OVER () AS tn, " +
+        "sum(w * dist) OVER () AS ts, sum(w * dist * dist) OVER () AS tq FROM dv " +
+        "WINDOW wo AS (ORDER BY dist ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "sp AS (SELECT dist, (CAST(cq AS DOUBLE) - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)) + " +
+        "CASE WHEN tn = cn THEN 0.0 ELSE CAST(tq - cq AS DOUBLE) - " +
+        "CAST(ts - cs AS DOUBLE) * CAST(ts - cs AS DOUBLE) / CAST(tn - cn AS DOUBLE) END AS sse FROM o), " +
+        "thr AS (SELECT min(dist) AS t FROM sp WHERE sse = (SELECT min(sse) FROM sp)), " +
+        "e AS (SELECT ia AS src, ib AS dst FROM pairs WHERE dist <= (SELECT t FROM thr) " +
+        "UNION SELECT ib, ia FROM pairs WHERE dist <= (SELECT t FROM thr)), " +
+        "r AS (SELECT src AS id, src AS comp FROM e UNION SELECT e.dst, r.comp FROM r JOIN e ON r.id = e.src), " +
+        "lab AS (SELECT id, min(comp) AS component FROM r GROUP BY id), " +
+        "wc AS (SELECT pr.pid, pr.cnt, pr.toks, CAST(coalesce(lab.component, pr.pid) AS VARCHAR) AS cluster " +
+        "FROM pr LEFT JOIN lab ON pr.pid = lab.id), " +
+        "pe AS (SELECT cluster, pid, cnt, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM wc), " +
+        "ms AS (SELECT cluster, count(*) AS m FROM wc GROUP BY cluster), " +
+        "cst AS (SELECT cluster, pos1, count(DISTINCT tok) AS nd, count(*) AS np FROM pe GROUP BY 1, 2), " +
+        "ch AS (SELECT cluster, pos1 AS spos FROM (SELECT cst.cluster, cst.pos1, cst.nd, " +
+        "row_number() OVER (PARTITION BY cst.cluster ORDER BY cst.nd, cst.pos1) AS rk " +
+        "FROM cst JOIN ms ON cst.cluster = ms.cluster " +
+        "WHERE cst.np = ms.m AND cst.nd > 1 AND cst.nd <= 4) WHERE rk = 1), " +
+        "nk AS (SELECT pe.pid, pe.cluster || '|' || pe.tok AS nc FROM pe " +
+        "JOIN ch ON pe.cluster = ch.cluster AND pe.pos1 = ch.spos), " +
+        "wc2 AS (SELECT wc.pid, wc.cnt, wc.toks, coalesce(nk.nc, wc.cluster) AS cluster " +
+        "FROM wc LEFT JOIN nk ON wc.pid = nk.pid), " +
+        "pe2 AS (SELECT cluster, cnt, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM wc2), " +
+        "m2 AS (SELECT cluster, count(*) AS m, sum(cnt) AS occ FROM wc2 GROUP BY cluster), " +
+        "agg AS (SELECT cluster, pos1, min(tok) AS lo, max(tok) AS hi, count(*) AS np FROM pe2 GROUP BY 1, 2), " +
+        "tpl AS (SELECT agg.cluster, string_agg(CASE WHEN agg.lo = agg.hi AND agg.np = m2.m THEN agg.lo " +
+        "ELSE '<*>' END, ' ' ORDER BY agg.pos1) AS event_template " +
+        "FROM agg JOIN m2 ON agg.cluster = m2.cluster GROUP BY agg.cluster) " +
+        "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
+        "CAST(sum(m2.occ) AS BIGINT) AS occurrences FROM tpl JOIN m2 ON tpl.cluster = m2.cluster " +
+        "GROUP BY event_template"),
     "slct_templates" ->
       // SLCT's two counting passes replayed relationally: global (position, word)
       // frequencies ≥ support → per-line abstraction (ordered string_agg) →
