@@ -294,6 +294,33 @@ object SparkEntry {
       graft.lke.Lke.mineCatalog(lines, "line")
     }),
 
+    "logsig_templates" -> ((s, dir) => {
+      // twelfth miner (LogSig pair-potential local search, deterministic
+      // synchronous instance). Every term pair in this corpus contains a
+      // type-derived token and the ascii-initial init groups each type whole, so
+      // no message shares a pair with a foreign group — the init is PROVABLY the
+      // search fixpoint and the loop's one round verifies it, which is what the
+      // loop-free SQL oracle replays (real reassignment is driven by LogSigSpec's
+      // adversarial init). Groups: {click}, {error}, {purchase,signup,view} —
+      // the mixed group majority-wildcards every position
+      val lines = t(s, dir, "events").select(
+        concat(col("event_type"), lit(" u"), (col("user_id") % 4).cast("string"),
+          lit(" "), upper(substring(col("event_type"), 1, 2))).as("line"))
+      graft.logsig.LogSig.mineCatalog(lines, "line")
+    }),
+
+    "molfi_templates" -> ((s, dir) => {
+      // thirteenth miner (MoLFI seeded NSGA-II over per-length partitions) — the
+      // one genuinely non-SQL-expressible miner (population search), so this is
+      // a rows-only driver check; MolfiSpec pins exact catalogs on five corpora.
+      // Expected knee here: the by-type partition (spec 1/2 × freq 1/5 beats
+      // one-cluster's 0 and singletons' 1/30) → five "type <*>" templates
+      val lines = t(s, dir, "events").select(
+        concat(col("event_type"), lit(" u"), (col("user_id") % 6).cast("string"))
+          .as("line"))
+      graft.molfi.Molfi.mineCatalog(lines, "line")
+    }),
+
     "log_spell_templates" -> ((s, dir) => {
       // Spell as the PRIMARY miner (reference ships it as a full parser) —
       // DISTRIBUTED since round 3: an empty Drain tree makes every parsed line
@@ -967,6 +994,27 @@ object SparkEntry {
         "FROM agg JOIN m2 ON agg.cluster = m2.cluster GROUP BY agg.cluster) " +
         "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
         "CAST(sum(m2.occ) AS BIGINT) AS occurrences FROM tpl JOIN m2 ON tpl.cluster = m2.cluster " +
+        "GROUP BY event_template"),
+    "logsig_templates" ->
+      // LogSig replayed relationally: ascii-initial init (provably the search
+      // fixpoint on this corpus — no cross-type pair exists, see the query
+      // comment) → per-(group, pos) weighted token counts → strict-majority
+      // signature assembly
+      ("WITH lines AS (SELECT event_type || ' u' || CAST(user_id % 4 AS VARCHAR) || ' ' || " +
+        "upper(substr(event_type, 1, 2)) AS line FROM events), " +
+        "pat AS (SELECT trim(line) AS p, count(*) AS cnt FROM lines GROUP BY 1), " +
+        "a AS (SELECT p, cnt, string_split_regex(p, '\\s+') AS toks, " +
+        "ascii(substr(p, 1, 1)) % 3 AS g FROM pat), " +
+        "gs AS (SELECT g, sum(cnt) AS sz FROM a GROUP BY g), " +
+        "pe AS (SELECT g, cnt, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM a), " +
+        "tc AS (SELECT g, pos1, tok, sum(cnt) AS c FROM pe GROUP BY 1, 2, 3), " +
+        "bs AS (SELECT g, pos1, tok AS btok, c AS bc FROM (SELECT g, pos1, tok, c, " +
+        "row_number() OVER (PARTITION BY g, pos1 ORDER BY c DESC, tok DESC) AS rk FROM tc) WHERE rk = 1), " +
+        "pieces AS (SELECT bs.g, bs.pos1, CASE WHEN bs.bc * 2 > gs.sz THEN bs.btok ELSE '<*>' END AS piece " +
+        "FROM bs JOIN gs ON bs.g = gs.g), " +
+        "tpl AS (SELECT g, string_agg(piece, ' ' ORDER BY pos1) AS event_template FROM pieces GROUP BY g) " +
+        "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
+        "CAST(sum(gs.sz) AS BIGINT) AS occurrences FROM tpl JOIN gs ON tpl.g = gs.g " +
         "GROUP BY event_template"),
     "slct_templates" ->
       // SLCT's two counting passes replayed relationally: global (position, word)
