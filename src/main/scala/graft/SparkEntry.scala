@@ -148,7 +148,10 @@ object SparkEntry {
       val n = 150L
       val floors = Map("hdfs" -> 0.95, "apache" -> 0.8, "proxifier" -> 0.5,
         "spark" -> 0.8, "zookeeper" -> 0.8, "openssh" -> 0.8, "healthapp" -> 0.7,
-        "windows" -> 0.8, "linux" -> 0.8)
+        "windows" -> 0.8, "linux" -> 0.8,
+        // the 7 loghub-shaped styles added round 3 (16-dataset sweep parity):
+        "hadoop" -> 0.8, "bgl" -> 0.8, "hpc" -> 0.8, "thunderbird" -> 0.8,
+        "android" -> 0.8, "openstack" -> 0.8, "mac" -> 0.8)
       def score(asg: DataFrame, gt: DataFrame): Evaluator.Scores =
         Evaluator.evaluate(asg.select("url", "line_no", "event_id")
           .join(gt, Seq("url", "line_no")).withColumnRenamed("gt_tpl", "gt_id"))

@@ -193,8 +193,180 @@ object LogStyles {
       f"Jun 15 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d combo $comp: "
     })
 
+  // ---- Hadoop-style: bracketed process + dotted component ---------------------
+  private val hadoopTemplates = IndexedSeq(
+    "Progress of TaskAttempt attempt_{num} is {num} percent",
+    "Starting container container_{num} on host {host}",
+    "Reduce task shuffle fetched {num} map outputs",
+    "Committing job job_{num} to staging area",
+    "Spilling map output buffer full at {num} bytes",
+    "Token renewal for appattempt_{num} scheduled",
+    "Node {host} reported {num} healthy disks")
+
+  val Hadoop: StyleSpec = StyleSpec(
+    LogStyle("hadoop", "<Date> <Time> <Level> \\[<Process>\\] <Component>: <Content>",
+      Seq("(\\d+\\.){3}\\d+"), st = 0.5, depth = 4),
+    hadoopTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 47 + lineNo) % 86400
+      val lvl = IndexedSeq("INFO", "INFO", "WARN")(pick(mix(h, 47), 3))
+      val proc = IndexedSeq("main", s"IPC-Handler-${pick(mix(h, 48), 8)}",
+        "AsyncDispatcher-event-handler")(pick(mix(h, 49), 3))
+      val comp = IndexedSeq("mapred.MapTask", "yarn.RMContainerAllocator",
+        "mapreduce.Job")(pick(mix(h, 50), 3))
+      f"2024-01-01 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d,${pick(mix(h, 51), 1000)}%03d $lvl [$proc] $comp: "
+    })
+
+  // ---- BGL-style: NINE single-token headers before content --------------------
+  // exercises deep positional header stacks (label, epoch, node repeated twice)
+  private val bglTemplates = IndexedSeq(
+    "instruction cache parity error corrected",
+    "generating core.{num}",
+    "ciod error reading message prefix on control stream {num}",
+    "double-hummer alignment exceptions {num}",
+    "total of {num} ddr error(s) detected and corrected",
+    "rts kernel terminated for reason {num}",
+    "data TLB error interrupt count {num}")
+
+  val Bgl: StyleSpec = StyleSpec(
+    LogStyle("bgl",
+      "<Label> <Timestamp> <Date> <Node> <Time> <NodeRepeat> <Type> <Component> <Level> <Content>",
+      Seq("core\\.\\d+"), st = 0.5, depth = 4),
+    bglTemplates,
+    (rowId, lineNo, h) => {
+      val node = s"R${pick(mix(h, 52), 8)}-M${pick(mix(h, 53), 2)}-N${pick(mix(h, 54), 16)}-C:J${pick(mix(h, 55), 18)}-U${pick(mix(h, 56), 12)}"
+      val lbl = IndexedSeq("-", "KERNDTLB", "KERNRTSP")(pick(mix(h, 57), 3))
+      val lvl = IndexedSeq("INFO", "FATAL", "WARNING")(pick(mix(h, 58), 3))
+      val epoch = 1704067200L + (rowId * 53 + lineNo) % 86400
+      val secs = (rowId * 53 + lineNo) % 86400
+      f"$lbl $epoch 2024.01.01 $node 2024-01-01-${secs / 3600}%02d.${(secs / 60) % 60}%02d.${secs % 60}%02d.${pick(mix(h, 59), 1000000)}%06d $node RAS KERNEL $lvl "
+    })
+
+  // ---- HPC-style: flat single-token headers incl. numeric flag ----------------
+  private val hpcTemplates = IndexedSeq(
+    "Component State Change Component alt{num} is in the unavailable state HWID={num}",
+    "boot command warning code {hex}",
+    "critical temperature threshold exceeded ambient={num}",
+    "psu failure detected unit {num}",
+    "backplane voltage out of range reading={num}",
+    "link error on broadcast tree interconnect {hex}",
+    "node configuration commit succeeded slot={num}")
+
+  val Hpc: StyleSpec = StyleSpec(
+    LogStyle("hpc", "<LogId> <Node> <Component> <State> <Time> <Flag> <Content>",
+      Seq("=\\d+"), st = 0.5, depth = 4),
+    hpcTemplates,
+    (rowId, lineNo, h) => {
+      val logid = 100000 + ((rowId * 59 + lineNo) % 800000)
+      val node = s"cn${pick(mix(h, 60), 512)}"
+      val comp = IndexedSeq("unix.hw", "boot_cmd", "tower.psu")(pick(mix(h, 61), 3))
+      val state = IndexedSeq("state_change.unavailable", "new", "running")(pick(mix(h, 62), 3))
+      val epoch = 1704067200L + (rowId * 61 + lineNo) % 86400
+      s"$logid $node $comp $state $epoch 1 "
+    })
+
+  // ---- Thunderbird-style: 8 headers + optional `(\[<PID>\])?` like Linux ------
+  private val thunderbirdTemplates = IndexedSeq(
+    "synchronizing time server {iph} offset {num} sec",
+    "session opened for user {usr} by uid {num}",
+    "connection from {iph} at port {num}",
+    "kernel panic averted in module {hex}",
+    "dhcp lease renewed on {iph}",
+    "scsi reset on channel {num} target {num}",
+    "mount of filesystem scratch{num} succeeded")
+
+  val Thunderbird: StyleSpec = StyleSpec(
+    LogStyle("thunderbird",
+      "<Label> <Timestamp> <Date> <User> <Month> <Day> <Time> <Location> <Component>(\\[<PID>\\])?: <Content>",
+      Seq("(\\d+\\.){3}\\d+"), st = 0.5, depth = 4),
+    thunderbirdTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 67 + lineNo) % 86400
+      val unit = s"tbird-sm${pick(mix(h, 63), 4)}"
+      val withPid = pick(mix(h, 64), 2) == 0
+      val comp = if (withPid)
+        IndexedSeq("ntpd", "sshd", "ib_sm.x")(pick(mix(h, 65), 3)) +
+          s"[${1000 + pick(mix(h, 66), 30000)}]"
+      else "kernel"
+      val epoch = 1131566400L + (rowId * 71 + lineNo) % 86400
+      f"- $epoch 2024.01.01 $unit Jan 1 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d src@$unit $comp: "
+    })
+
+  // ---- Android-style: double-space literals + aggressive number masking -------
+  private val androidTemplates = IndexedSeq(
+    "setLightsOn value={num}",
+    "dispatching input event to listener {hex}",
+    "power setState {num} reason standby",
+    "acquire lock={hex} tag=RILJ",
+    "screenState changing to {num}",
+    "loadedApk making application for package slot {num}",
+    "audioflinger track underrun client {num}")
+
+  val Android: StyleSpec = StyleSpec(
+    LogStyle("android", "<Date> <Time>  <Pid>  <Tid> <Level> <Component>: <Content>",
+      Seq("(/[\\w-]+)+", "([\\w-]+\\.){2,}[\\w-]+",
+        "\\b(\\-?\\+?\\d+)\\b|\\b0[Xx][a-fA-F\\d]+\\b|\\b[a-fA-F\\d]{4,}\\b"),
+      st = 0.2, depth = 6),
+    androidTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 73 + lineNo) % 86400
+      val lvl = IndexedSeq("D", "I", "V", "W")(pick(mix(h, 67), 4))
+      val comp = IndexedSeq("WindowManager", "PowerManagerService", "ActivityManager")(pick(mix(h, 68), 3))
+      f"01-01 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d.${pick(mix(h, 69), 1000)}%03d  ${2000 + pick(mix(h, 70), 8000)}  ${2000 + pick(mix(h, 71), 8000)} $lvl $comp: "
+    })
+
+  // ---- OpenStack-style: bracketed request ADDR that CONTAINS spaces -----------
+  // the lazy `\[(.*?)\]` group must span spaces up to the literal `]`
+  private val openstackTemplates = IndexedSeq(
+    "VM Started Lifecycle Event for instance {hex}",
+    "Took {num} seconds to build instance",
+    "Terminating instance {hex}",
+    "During sync_power_state the instance has a pending task resize skip",
+    "Active base files {hex}",
+    "Claim successful on node {host}",
+    "Attempting claim memory {num} MB disk {num} GB vcpus {num} CPU")
+
+  val OpenStack: StyleSpec = StyleSpec(
+    LogStyle("openstack",
+      "<Logrecord> <Date> <Time> <Pid> <Level> <Component> \\[<ADDR>\\] <Content>",
+      Seq("((\\d+\\.){3}\\d+,?)+", "/.+?\\s", "\\d+"), st = 0.5, depth = 5),
+    openstackTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 79 + lineNo) % 86400
+      val lvl = IndexedSeq("INFO", "INFO", "WARNING")(pick(mix(h, 72), 3))
+      val comp = IndexedSeq("nova.compute.manager", "nova.virt.libvirt.imagecache",
+        "nova.compute.claims")(pick(mix(h, 73), 3))
+      val req = s"req-${java.lang.Long.toHexString(mix(h, 74) & 0xFFFFFFFFL)} admin admin - - -"
+      f"nova-compute.log.${pick(mix(h, 75), 9)} 2024-01-01 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d.${pick(mix(h, 76), 1000)}%03d ${2000 + pick(mix(h, 77), 8000)} $lvl $comp [$req] "
+    })
+
+  // ---- Mac-style: optional MID-format group ` \(<Address>\)` + high st --------
+  private val macTemplates = IndexedSeq(
+    "Received interface changed notification",
+    "wl0 powered on channel {num}",
+    "hibernate image path blocks {num}",
+    "network change detected on interface en{num}",
+    "sandbox denying file-read for pid {num}",
+    "captive portal probe on {host} finished",
+    "thermal pressure level {num} notification posted")
+
+  val MacStyle: StyleSpec = StyleSpec(
+    LogStyle("mac",
+      "<Month>  <Date> <Time> <User> <Component>\\[<PID>\\]( \\(<Address>\\))?: <Content>",
+      Seq("([\\w-]+\\.){2,}[\\w-]+"), st = 0.7, depth = 6),
+    macTemplates,
+    (rowId, lineNo, h) => {
+      val secs = (rowId * 83 + lineNo) % 86400
+      val comp = IndexedSeq("kernel", "corecaptured", "airportd")(pick(mix(h, 78), 3))
+      val addr = if (pick(mix(h, 79), 2) == 0)
+        s" (${IndexedSeq("CoreFoundation", "QtCore", "libsystem")(pick(mix(h, 80), 3))})"
+      else ""
+      f"Jan  1 ${secs / 3600}%02d:${(secs / 60) % 60}%02d:${secs % 60}%02d macmini${pick(mix(h, 81), 4)} $comp[${pick(mix(h, 82), 30000)}]$addr: "
+    })
+
   val all: Seq[StyleSpec] =
-    Seq(Apache, Proxifier, SparkStyle, Zookeeper, OpenSsh, HealthApp, Windows, Linux)
+    Seq(Apache, Proxifier, SparkStyle, Zookeeper, OpenSsh, HealthApp, Windows, Linux,
+      Hadoop, Bgl, Hpc, Thunderbird, Android, OpenStack, MacStyle)
 
   /** Render the content slots for non-HDFS styles. */
   def fillSlots(tpl: String, h0: Long): String = {
