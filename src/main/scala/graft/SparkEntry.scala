@@ -606,6 +606,10 @@ object SparkEntry {
         .groupBy("user_id").agg(sum("new_sess").as("n_sessions"),
           count(lit(1)).as("n_events"))
     }),
+    "e_session_windows" -> ((s, dir) =>
+      // native session_window sessionization (same expression streams watermarked
+      // via graft.streaming.Sessionize.sessionStream; parity in StreamingSpec)
+      graft.streaming.Sessionize.sessions(t(s, dir, "events"))),
     "e_topk_users" -> ((s, dir) =>
       t(s, dir, "events").filter(col("event_type") === "purchase")
         .groupBy("user_id")
@@ -1223,6 +1227,18 @@ object SparkEntry {
         "THEN 1 ELSE 0 END::BIGINT AS new_sess FROM (" +
         "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
         "FROM events)) GROUP BY user_id"),
+    "e_session_windows" ->
+      // replay session_window's merge rule (windows merge when they overlap or
+      // TOUCH — SessionizeSpec pins the boundary): diff > 30 min starts a new
+      // session, window = [min(ts), max(ts) + gap)
+      ("SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end, " +
+        "count(*) AS n_events FROM (" +
+        "SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sess_id FROM (" +
+        "SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
+        "date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END::BIGINT AS new_sess FROM (" +
+        "SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS prev_ts FROM events))) GROUP BY user_id, sess_id"),
     "e_topk_users" ->
       ("SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents FROM events " +
         "WHERE event_type = 'purchase' GROUP BY user_id " +
