@@ -606,6 +606,20 @@ object SparkEntry {
         .groupBy("user_id").agg(sum("new_sess").as("n_sessions"),
           count(lit(1)).as("n_events"))
     }),
+    "j_asof" -> ((s, dir) => {
+      // as-of enrichment: each click joined to the user's most recent purchase
+      // at or before it (one keyed shuffle — graft.ops.AsofJoin's union+window
+      // re-expression; oracle = DuckDB's native ASOF LEFT JOIN)
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("p_event_id"),
+          round(max_by(col("value"), col("event_id")) * 100).cast("long").as("p_cents"))
+      graft.ops.AsofJoin.asof(clicks, purchases, "user_id", "ts",
+        Seq("p_event_id", "p_cents"))
+    }),
     "e_session_windows" -> ((s, dir) =>
       // native session_window sessionization (same expression streams watermarked
       // via graft.streaming.Sessionize.sessionStream; parity in StreamingSpec)
@@ -1227,6 +1241,13 @@ object SparkEntry {
         "THEN 1 ELSE 0 END::BIGINT AS new_sess FROM (" +
         "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
         "FROM events)) GROUP BY user_id"),
+    "j_asof" ->
+      ("SELECT l.user_id, l.ts, l.event_id, r.p_event_id, r.p_cents FROM " +
+        "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS p_event_id, " +
+        "CAST(round(max_by(value, event_id) * 100) AS BIGINT) AS p_cents " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"),
     "e_session_windows" ->
       // replay session_window's merge rule (windows merge when they overlap or
       // TOUCH — SessionizeSpec pins the boundary): diff > 30 min starts a new
