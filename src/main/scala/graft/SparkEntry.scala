@@ -606,6 +606,15 @@ object SparkEntry {
         .groupBy("user_id").agg(sum("new_sess").as("n_sessions"),
           count(lit(1)).as("n_events"))
     }),
+    "e_pivot" -> ((s, dir) =>
+      // relational pivot with an EXPLICIT value list — no values-discovery job,
+      // so the plan is a single hash aggregate over (hour) with map-side combine
+      t(s, dir, "events")
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .groupBy("hour")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))),
     "j_asof" -> ((s, dir) => {
       // as-of enrichment: each click joined to the user's most recent purchase
       // at or before it (one keyed shuffle — graft.ops.AsofJoin's union+window
@@ -1241,6 +1250,14 @@ object SparkEntry {
         "THEN 1 ELSE 0 END::BIGINT AS new_sess FROM (" +
         "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
         "FROM events)) GROUP BY user_id"),
+    "e_pivot" ->
+      ("SELECT date_trunc('hour', ts) AS hour, " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
+        "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view " +
+        "FROM events GROUP BY 1"),
     "j_asof" ->
       ("SELECT l.user_id, l.ts, l.event_id, r.p_event_id, r.p_cents FROM " +
         "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +
