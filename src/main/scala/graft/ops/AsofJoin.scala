@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *
   * Contract: `rightCols` must not collide with left column names; if several
   * right rows share (key, ts) the caller pre-dedups (the oracle does the same —
-  * see SparkEntry `j_asof`).
+  * see SparkEntry `j_asof`). A NULL value inside a right payload column is
+  * indistinguishable from "no snapshot" to the ignoreNulls carry, so an older
+  * non-null value would survive past it — encode explicit deletions as sentinel
+  * values, not NULLs.
   */
 object AsofJoin {
 
