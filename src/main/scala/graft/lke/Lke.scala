@@ -1,7 +1,6 @@
 package graft.lke
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LKE-style template miner (Fu, Lou, Wang & Li, "Execution Anomaly Detection in
@@ -17,8 +16,8 @@ import org.apache.spark.sql.functions._
   *  2. THRESHOLD LEARNING: the reference learns the connect-threshold by k-means
   *     (k=2) over the pairwise distances. In 1-D the converged 2-means optimum is
   *     a closed form — the split of the sorted distance multiset minimizing total
-  *     within-cluster sum of squares — so we compute it exactly with one window
-  *     scan instead of Lloyd iteration: deterministic, no seed, no iteration
+  *     within-cluster sum of squares — so we compute it exactly from prefix
+  *     sums of the histogram instead of Lloyd iteration: deterministic, no seed, no iteration
   *     count. Ties on SSE resolve to the SMALLER boundary (connect less).
   *     Clusters = connected components of the ≤threshold relation
   *     ([[graft.dedup.Dedup.connectedComponents]]).
@@ -38,8 +37,8 @@ import org.apache.spark.sql.functions._
   * of silently launching a quadratic job — LKE is a correctness-gated miner for
   * bounded template universes, not a 100 TB scan; at scale it runs on the
   * bounded mine sample like the pipeline's Drain phase. The distance histogram
-  * fed to the threshold scan has ≤ max-line-length distinct values, so its
-  * single-partition window is trivially small.
+  * fed to the threshold scan has ≤ max-line-length distinct values; its prefix
+  * sums are a broadcast range self-join, so no stage is single-partition.
   */
 object Lke {
 
@@ -71,17 +70,24 @@ object Lke {
     // double before the arithmetic, so DuckDB replays every comparison
     // bit-identically (IEEE ops on identical inputs).
     val thr: Option[Int] = if (pairs.limit(1).count() == 0) None else {
+      // The histogram has ≤ max-line-length distinct distances, so the prefix
+      // sums come from a broadcast range self-join (tiny × tiny, distributed)
+      // instead of an unpartitioned window — no single-partition WindowExec
+      // stage anywhere in the miner. Sums stay exact longs, so the DuckDB
+      // oracle replays every comparison bit-identically, same as before.
       val dv = pairs.groupBy("dist").agg(count(lit(1)).as("w"))
-      val wo = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wa = Window.orderBy("dist")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val scan = dv
-        .withColumn("cn", sum(col("w")).over(wo))
-        .withColumn("cs", sum(col("w") * col("dist")).over(wo))
-        .withColumn("cq", sum(col("w") * col("dist") * col("dist")).over(wo))
-        .withColumn("tn", sum(col("w")).over(wa))
-        .withColumn("ts", sum(col("w") * col("dist")).over(wa))
-        .withColumn("tq", sum(col("w") * col("dist") * col("dist")).over(wa))
+      val rhs = dv.select(col("dist").as("d2"), col("w").as("w2"))
+      val cum = dv.select("dist").join(broadcast(rhs), col("d2") <= col("dist"))
+        .groupBy("dist")
+        .agg(
+          sum(col("w2")).as("cn"),
+          sum(col("w2") * col("d2")).as("cs"),
+          sum(col("w2") * col("d2") * col("d2")).as("cq"))
+      val tot = dv.agg(
+        sum(col("w")).as("tn"),
+        sum(col("w") * col("dist")).as("ts"),
+        sum(col("w") * col("dist") * col("dist")).as("tq"))
+      val scan = cum.crossJoin(broadcast(tot))
         .withColumn("sse",
           (col("cq").cast("double") -
             col("cs").cast("double") * col("cs").cast("double") / col("cn").cast("double")) +
