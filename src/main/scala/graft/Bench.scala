@@ -213,7 +213,25 @@ object Bench {
     val d4n = scalePages / t4n
     val tn = supportedFloor(runsN)
     val dn = scalePages / tn
-    val eff = (d4n / dn) / (nHigh.toDouble / nLow)
+    // Efficiency estimator (round 3): the alternation pairs each N rep with two
+    // 4N reps drawn in the SAME minutes of host weather, so the per-pair ratio
+    // cancels drift that per-level floors cannot — when a calm window lands on
+    // one level only, that level's floor is biased and the floor ratio with it
+    // (one same-code draw measured a physically impossible 1.198 from exactly
+    // that: slow N minutes, calm 4N minutes). efficiency = median over pairs of
+    // (t_N / mean-of-the-pair's-two-t_4N) / (cores_4N/cores_N); the old
+    // floor-based figure stays in the JSON as efficiency_floor for continuity.
+    val pairEffs = runsN.indices.flatMap { i =>
+      if (2 * i + 1 < runs4n.size) {
+        val m4 = (runs4n(2 * i) + runs4n(2 * i + 1)) / 2
+        Some((runsN(i) / m4) / (nHigh.toDouble / nLow))
+      } else None
+    }.sorted
+    val effFloor = (d4n / dn) / (nHigh.toDouble / nLow)
+    val eff =
+      if (pairEffs.isEmpty) effFloor
+      else if (pairEffs.size % 2 == 1) pairEffs(pairEffs.size / 2)
+      else (pairEffs(pairEffs.size / 2 - 1) + pairEffs(pairEffs.size / 2)) / 2
     def arr(xs: scala.collection.Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
 
     // ---- per-query timings at full parallelism (driver contract) -------------
@@ -239,7 +257,7 @@ object Bench {
     val total = results.map(_._2).sum
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":$failedJson,"sf":"$sfDir","pipeline_docs_per_sec":$d4n%.1f,"scaling":{"cpus_n":$nLow,"docs_per_sec_n":$dn%.1f,"cpus_4n":$nHigh,"docs_per_sec_4n":$d4n%.1f,"efficiency":$eff%.3f,"converged":$didConverge,"runs_n_sec":${arr(runsN)},"runs_4n_sec":${arr(runs4n)}},"pages":$scalePages}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":$failedJson,"sf":"$sfDir","pipeline_docs_per_sec":$d4n%.1f,"scaling":{"cpus_n":$nLow,"docs_per_sec_n":$dn%.1f,"cpus_4n":$nHigh,"docs_per_sec_4n":$d4n%.1f,"efficiency":$eff%.3f,"efficiency_floor":$effFloor%.3f,"converged":$didConverge,"runs_n_sec":${arr(runsN)},"runs_4n_sec":${arr(runs4n)}},"pages":$scalePages}""")
     spark.stop()
   }
 }
