@@ -155,18 +155,32 @@ object SparkEntry {
       def score(asg: DataFrame, gt: DataFrame): Evaluator.Scores =
         Evaluator.evaluate(asg.select("url", "line_no", "event_id")
           .join(gt, Seq("url", "line_no")).withColumnRenamed("gt_tpl", "gt_id"))
-      val hdfs = {
-        val (_, asg) = LogPipeline.assignAll(s, WebPagesGen.pages(s, n).toDF(),
-          PipelineConfig.hdfs)
-        ("hdfs", score(asg, WebPagesGen.groundTruth(s, n).toDF()))
-      }
-      val styled = graft.ingest.LogStyles.all.map { spec =>
-        val cfg = PipelineConfig(spec.style.logFormat, spec.style.rexes,
-          st = spec.style.st, depth = spec.style.depth)
-        val (_, asg) = LogPipeline.assignAll(s, graft.ingest.LogStyles.pagesFor(s, spec, n).toDF(), cfg)
-        (spec.style.name, score(asg, graft.ingest.LogStyles.groundTruthFor(s, spec, n).toDF()))
-      }
-      val rows = hdfs +: styled
+      // 17 independent 150-page mini-pipelines: each one leaves most of the
+      // cluster idle, so submit them concurrently (bounded pool) — Spark's
+      // scheduler interleaves independent jobs exactly as a shared cluster
+      // would, and every mine/score is per-invocation state (no globals).
+      // Future.traverse preserves input order, so the output rows (and the
+      // floor checks) are deterministic.
+      val tasks: Seq[() => (String, Evaluator.Scores)] =
+        (() => {
+          val (_, asg) = LogPipeline.assignAll(s, WebPagesGen.pages(s, n).toDF(),
+            PipelineConfig.hdfs)
+          ("hdfs", score(asg, WebPagesGen.groundTruth(s, n).toDF()))
+        }) +: graft.ingest.LogStyles.all.map { spec => () => {
+          val cfg = PipelineConfig(spec.style.logFormat, spec.style.rexes,
+            st = spec.style.st, depth = spec.style.depth)
+          val (_, asg) = LogPipeline.assignAll(s,
+            graft.ingest.LogStyles.pagesFor(s, spec, n).toDF(), cfg)
+          (spec.style.name, score(asg, graft.ingest.LogStyles.groundTruthFor(s, spec, n).toDF()))
+        }}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      val rows = try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.traverse(tasks)(tk => scala.concurrent.Future(tk())),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       rows.foreach { case (name, sc) =>
         require(sc.parsingAccuracy >= floors(name),
           f"PA floor violated for style $name: ${sc.parsingAccuracy}%.4f < ${floors(name)}%.2f")
