@@ -155,7 +155,7 @@ object SparkEntry {
       def score(asg: DataFrame, gt: DataFrame): Evaluator.Scores =
         Evaluator.evaluate(asg.select("url", "line_no", "event_id")
           .join(gt, Seq("url", "line_no")).withColumnRenamed("gt_tpl", "gt_id"))
-      // 17 independent 150-page mini-pipelines: each one leaves most of the
+      // 16 independent 150-page mini-pipelines: each one leaves most of the
       // cluster idle, so submit them concurrently (bounded pool) — Spark's
       // scheduler interleaves independent jobs exactly as a shared cluster
       // would, and every mine/score is per-invocation state (no globals).
