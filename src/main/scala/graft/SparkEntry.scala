@@ -427,6 +427,34 @@ object SparkEntry {
     "t_subword_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
+    "t_pii_mask" -> ((s, dir) => {
+      // the documents corpus is PII-free word salad, so PII-bearing text is
+      // synthesized deterministically from doc columns (same move as log_params):
+      // every doc gains one email, one IPv4, one SSN and one phone, then the
+      // masking chain runs — the oracle replays both the synthesis and the mask
+      val d = t(s, dir, "documents")
+      val synth = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com from 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0.7 ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" call 555-123-4567"))
+      val masked = TextOps.piiMask(synth)
+      d.select(col("doc_id"), masked.as("masked"),
+        TextOps.piiCount(masked).as("n_pii"))
+    }),
+    "t_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals: duplicate-token fraction (pure
+      // column expr) + top-bigram fraction (explode → per-doc bigram counts →
+      // max/sum — partial-agg-friendly, shuffles only (doc_id, bigram) pairs)
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        TextOps.dupWordMilli(col("text")).as("dup_word_milli"),
+        Dedup.wordShingles(col("text"), 2).as("bigrams"))
+      val counts = base.select(col("doc_id"), explode(col("bigrams")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+      base.select("doc_id", "dup_word_milli").join(counts, Seq("doc_id"))
+        .select(col("doc_id"), col("dup_word_milli"),
+          floor(col("top_c") * 1000L / col("n_bg")).cast("long").as("top_bigram_milli"))
+    }),
 
     // ---------- dedup ---------------------------------------------------------
     "d_exact_groups" -> ((s, dir) =>
@@ -523,6 +551,20 @@ object SparkEntry {
           TextOps.tokenCount(col("text")).cast("long")),
         "doc_id", "lang", "n_tokens", budget = 5000L)
         .select("doc_id")),
+    "td_decontam" -> ((s, dir) => {
+      // benchmark decontamination: docs with doc_id%37==0 act as the eval set;
+      // the training side is everything else PLUS a deterministic "leak" of each
+      // benchmark doc (3-word prefix prepended) that must be flagged. Benchmark
+      // shingles are broadcast — the training corpus never shuffles its text.
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 37 === 0).select("doc_id", "text")
+      val leaked = bench.select((col("doc_id") + 200000).as("doc_id"),
+        concat(lit("leaked copy of "), col("text")).as("text"))
+      val train = d.filter(col("doc_id") % 37 =!= 0).select("doc_id", "text")
+        .unionByName(leaked)
+      graft.text.Decontam.ngramOverlap(train, bench, "doc_id", "text",
+        n = 5, minOverlap = 3)
+    }),
 
     // ---------- similarity search --------------------------------------------
     "ann_brute_topk" -> ((s, dir) => {
@@ -832,6 +874,28 @@ object SparkEntry {
       ("SELECT doc_id, CAST(len(list_filter(string_split_regex(s2, '\\s+'), x -> x != '')) AS BIGINT) AS n_subwords " +
         "FROM (SELECT doc_id, regexp_replace(regexp_replace(text, '([^A-Za-z0-9\\s])', ' \\1 ', 'g'), " +
         "'([a-z])([A-Z])', '\\1 \\2', 'g') AS s2 FROM documents)"),
+    "t_pii_mask" ->
+      // same synthesis + the same 4-pattern RE2-safe mask chain, email→IP→SSN→phone
+      ("WITH synth AS (SELECT doc_id, text || ' contact user' || doc_id::VARCHAR || " +
+        "'@example.com from 10.' || (doc_id % 200)::VARCHAR || '.0.7 ssn 123-45-' || " +
+        "lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' call 555-123-4567' AS s FROM documents), " +
+        "m AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(s, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), " +
+        "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS masked FROM synth) " +
+        "SELECT doc_id, masked, (len(string_split_regex(masked, '<(EMAIL|IP|SSN|PHONE)>')) - 1)::BIGINT " +
+        "AS n_pii FROM m"),
+    "t_repetition" ->
+      ("WITH base AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE " +
+        "CAST(floor((len(ts) - len(list_distinct(ts))) * 1000 / GREATEST(len(ts), 1)) AS BIGINT) END AS dup_word_milli, " +
+        "CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')] " +
+        "ELSE list_transform(range(1, len(ts)), i -> array_to_string(ts[i:i+1], ' ')) END AS bigrams " +
+        "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ts FROM documents)), " +
+        "cnt AS (SELECT doc_id, bg, count(*) AS c FROM (SELECT doc_id, unnest(bigrams) AS bg FROM base) GROUP BY doc_id, bg), " +
+        "agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM cnt GROUP BY doc_id) " +
+        "SELECT b.doc_id, b.dup_word_milli, CAST(floor(top_c * 1000 / n_bg) AS BIGINT) AS top_bigram_milli " +
+        "FROM base b JOIN agg USING (doc_id)"),
     "t_rolling_fp" ->
       // the wrapping-64-bit FNV chain emulated in HUGEINT: mod-2^64 after every
       // multiply/add, xor applied on the low 16 bits (char codes < 2^16), final
@@ -1204,6 +1268,22 @@ object SparkEntry {
         "r AS (SELECT doc_id, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d) " +
         "SELECT doc_id FROM r WHERE run <= 5000"),
+    "td_decontam" ->
+      // 5-gram shingles on both sides (list_distinct per doc, DISTINCT across the
+      // benchmark set), inner join on the shingle, per-train-doc distinct count
+      ("WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0), " +
+        "train AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 != 0 " +
+        "UNION ALL SELECT doc_id + 200000, 'leaked copy of ' || text FROM bench), " +
+        "bsh AS (SELECT DISTINCT unnest(sh) AS sh FROM (SELECT " +
+        "CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')] " +
+        "ELSE list_transform(range(1, len(ts) - 3), i -> array_to_string(ts[i:i+4], ' ')) END AS sh " +
+        "FROM (SELECT string_split_regex(trim(text), '\\s+') AS ts FROM bench))), " +
+        "tsh AS (SELECT doc_id, unnest(list_distinct(sh)) AS sh FROM (SELECT doc_id, " +
+        "CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')] " +
+        "ELSE list_transform(range(1, len(ts) - 3), i -> array_to_string(ts[i:i+4], ' ')) END AS sh " +
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM train))) " +
+        "SELECT t.doc_id AS train_id, count(DISTINCT t.sh)::BIGINT AS n_overlap " +
+        "FROM tsh t JOIN bsh b USING (sh) GROUP BY t.doc_id HAVING count(DISTINCT t.sh) >= 3"),
     "ann_brute_topk" -> annBruteOracle,
     // exactness settings (probe everything) provably reduce both ANN paths to
     // brute force — one float64 oracle serves all three

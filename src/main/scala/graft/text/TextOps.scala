@@ -91,6 +91,41 @@ object TextOps {
   def normFingerprint(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))
 
+  /** PII masking patterns, applied in order (most specific first). All patterns are
+    * RE2-compatible (no lookaround, no backreferences) so a DuckDB/RE2 oracle replays
+    * them verbatim; ordering matters (email before IP so dotted hosts in addresses
+    * are consumed first; SSN's d3-d2-d4 shape before the d3-d3-d4 phone shape).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b" -> "<PHONE>")
+
+  /** Mask emails / IPv4s / SSNs / phone numbers with typed placeholder tokens —
+    * a chain of codegen'd regexp_replace, no UDF. The pre-training-safety pass a
+    * web corpus needs before anything ships to a tokenizer.
+    */
+  def piiMask(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (pat, repl)) => regexp_replace(acc, pat, repl) }
+
+  /** Number of PII entities masked in an already-masked string (count of typed
+    * placeholders). split keeps trailing empty fields in both Spark and DuckDB, so
+    * `parts - 1` is exact even when the string ends with a placeholder.
+    */
+  def piiCount(masked: Column): Column =
+    (size(split(masked, "<(EMAIL|IP|SSN|PHONE)>")) - 1).cast("long")
+
+  /** Gopher-style repetition signal: fraction of duplicate tokens, in milli
+    * (0 = all tokens distinct, 1000 → everything repeated). Pure column expression.
+    */
+  def dupWordMilli(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(trim(c) === "", lit(0L)).otherwise(
+      floor((size(toks) - size(array_distinct(toks))).cast("long") * 1000L /
+        greatest(size(toks).cast("long"), lit(1L))).cast("long"))
+  }
+
   /** 64-bit rolling (FNV-1a-style polynomial) document fingerprint over tokens —
     * order-sensitive, unlike an md5 of the bag of words. Needs wrapping long
     * arithmetic, which Spark 4's ANSI mode rejects in column expressions, so this is
