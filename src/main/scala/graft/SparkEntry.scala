@@ -441,6 +441,31 @@ object SparkEntry {
       d.select(col("doc_id"), masked.as("masked"),
         TextOps.piiCount(masked).as("n_pii"))
     }),
+    "t_quality_gate" -> ((s, dir) =>
+      // composite Gopher-style gate (token band + mean word length + alpha-word
+      // ratio + repetition + stopword presence) — all pure codegen'd exprs
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.meanWordLenMilli(col("text")).as("mean_word_milli"),
+        TextOps.alphaWordRatioMilli(col("text")).as("alpha_word_milli"),
+        TextOps.gopherPass(col("text")).cast("long").as("pass"))),
+    "t_url_ops" -> ((s, dir) => {
+      // URL curation primitives (host / registered domain / path depth / domain
+      // blocklist) over urls synthesized deterministically from doc columns —
+      // regexp-based (NOT parse_url) so the DuckDB oracle replays them verbatim
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 7 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit("-"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".example.com"))
+          .when(col("doc_id") % 3 === 1, lit(".example.org"))
+          .otherwise(lit(".example.net")),
+        lit("/"), col("lang"), lit("/p"), (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/view?ref=1")).otherwise(lit("")))
+      val host = TextOps.urlHost(url)
+      val domain = TextOps.registeredDomain(host)
+      t(s, dir, "documents").select(col("doc_id"), host.as("host"), domain.as("domain"),
+        TextOps.urlPathDepth(url).as("depth"),
+        (domain === "example.net").cast("long").as("blocked"))
+    }),
     "t_repetition" -> ((s, dir) => {
       // Gopher-style repetition quality signals: duplicate-token fraction (pure
       // column expr) + top-bigram fraction (explode → per-doc bigram counts →
@@ -886,6 +911,30 @@ object SparkEntry {
         "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS masked FROM synth) " +
         "SELECT doc_id, masked, (len(string_split_regex(masked, '<(EMAIL|IP|SSN|PHONE)>')) - 1)::BIGINT " +
         "AS n_pii FROM m"),
+    "t_quality_gate" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(ts) END AS n_tok, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE CAST(floor(list_sum(list_transform(ts, t -> length(t))) * 1000 / GREATEST(len(ts), 1)) AS BIGINT) END AS mean_word_milli, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE CAST(floor(len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]'))) * 1000 / GREATEST(len(ts), 1)) AS BIGINT) END AS alpha_word_milli, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE CAST(floor((len(ts) - len(list_distinct(ts))) * 1000 / GREATEST(len(ts), 1)) AS BIGINT) END AS dup_milli, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE CAST(floor(len(list_filter(ts, x -> list_contains(['the','of','and','a','to','in','is','it','that','for','on','with'], x))) * 1000 / GREATEST(len(ts), 1)) AS BIGINT) END AS sw " +
+        "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ts FROM documents)) " +
+        "SELECT doc_id, mean_word_milli, alpha_word_milli, " +
+        "(n_tok BETWEEN 10 AND 100000 AND mean_word_milli BETWEEN 2000 AND 12000 " +
+        "AND alpha_word_milli >= 800 AND dup_milli <= 500 AND sw >= 1)::BIGINT AS pass FROM m"),
+    "t_url_ops" ->
+      ("WITH u AS (SELECT doc_id, 'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END || " +
+        "source || '-' || (doc_id % 50)::VARCHAR || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '.example.com' WHEN doc_id % 3 = 1 THEN '.example.org' ELSE '.example.net' END || " +
+        "'/' || lang || '/p' || (doc_id % 100)::VARCHAR || " +
+        "CASE WHEN doc_id % 4 = 0 THEN '/view?ref=1' ELSE '' END AS url FROM documents), " +
+        "h AS (SELECT doc_id, regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host, " +
+        "regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path FROM u), " +
+        "d AS (SELECT doc_id, host, path, CASE WHEN host LIKE '%.%' THEN " +
+        "regexp_extract(host, '([^.]+\\.[^.]+)$', 1) ELSE host END AS domain FROM h) " +
+        "SELECT doc_id, host, domain, " +
+        "(CASE WHEN path = '' OR path = '/' THEN 0 ELSE len(string_split(path, '/')) - 1 END)::BIGINT AS depth, " +
+        "(domain = 'example.net')::BIGINT AS blocked FROM d"),
     "t_repetition" ->
       ("WITH base AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE " +
         "CAST(floor((len(ts) - len(list_distinct(ts))) * 1000 / GREATEST(len(ts), 1)) AS BIGINT) END AS dup_word_milli, " +

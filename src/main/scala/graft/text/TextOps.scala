@@ -126,6 +126,64 @@ object TextOps {
         greatest(size(toks).cast("long"), lit(1L))).cast("long"))
   }
 
+  /** Mean token length in milli-chars (e.g. 4500 = 4.5 chars/word) — a Gopher
+    * quality-gate signal. aggregate() keeps the sum inside codegen; lengths are
+    * tiny so ANSI overflow is unreachable.
+    */
+  def meanWordLenMilli(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(trim(c) === "", lit(0L)).otherwise(
+      floor(aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * 1000L /
+        greatest(size(toks).cast("long"), lit(1L))).cast("long"))
+  }
+
+  /** Fraction of tokens containing at least one ASCII letter, in milli — Gopher's
+    * "80% of words must contain an alphabetic character" rule.
+    */
+  def alphaWordRatioMilli(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(trim(c) === "", lit(0L)).otherwise(
+      floor(size(filter(toks, t => regexp_like(t, lit("[A-Za-z]")))).cast("long") * 1000L /
+        greatest(size(toks).cast("long"), lit(1L))).cast("long"))
+  }
+
+  /** Composite Gopher-style quality gate: token count, mean word length, alpha-word
+    * ratio, duplicate-token fraction and stopword presence all inside their bands.
+    * Bands are arguments so corpora with different length profiles can tune them.
+    */
+  def gopherPass(c: Column, minTokens: Long = 10L, maxTokens: Long = 100000L,
+      minMeanWordMilli: Long = 2000L, maxMeanWordMilli: Long = 12000L,
+      minAlphaMilli: Long = 800L, maxDupMilli: Long = 500L,
+      minStopwordMilli: Long = 1L): Column = {
+    val nTok = tokenCount(c).cast("long")
+    (nTok >= minTokens) && (nTok <= maxTokens) &&
+      (meanWordLenMilli(c) >= minMeanWordMilli) && (meanWordLenMilli(c) <= maxMeanWordMilli) &&
+      (alphaWordRatioMilli(c) >= minAlphaMilli) &&
+      (dupWordMilli(c) <= maxDupMilli) &&
+      (stopwordRatioMilli(c, EnglishStopwords) >= minStopwordMilli)
+  }
+
+  // ---- URL curation ----------------------------------------------------------
+  // Spark has parse_url(), but DuckDB does not — these are regexp-based so ONE
+  // definition is replayable verbatim on both engines (RE2-safe, no lookaround).
+
+  /** Hostname of a URL ("" when absent). */
+  def urlHost(c: Column): Column = regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+  /** Registered domain = last two dot-labels of the host (example.com from
+    * a.b.example.com) — the standard key for per-site caps and blocklists.
+    * (A real public-suffix list slots in as a broadcast dim with the same shape.)
+    */
+  def registeredDomain(host: Column): Column =
+    when(host.rlike("\\."), regexp_extract(host, "([^.]+\\.[^.]+)$", 1)).otherwise(host)
+
+  /** Path depth = number of '/'-separated segments after the authority. */
+  def urlPathDepth(c: Column): Column = {
+    val path = regexp_extract(c, "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    when(path === "" || path === "/", lit(0L)).otherwise(
+      (size(split(path, "/")) - 1).cast("long"))
+  }
+
   /** 64-bit rolling (FNV-1a-style polynomial) document fingerprint over tokens —
     * order-sensitive, unlike an md5 of the bag of words. Needs wrapping long
     * arithmetic, which Spark 4's ANSI mode rejects in column expressions, so this is

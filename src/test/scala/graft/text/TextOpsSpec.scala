@@ -34,6 +34,35 @@ class TextOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq(0L, 750L, 250L, 0L, 0L))
   }
 
+  test("url ops: host, registered domain, path depth, graceful non-URL") {
+    val rows = Seq(
+      "https://www.sub.example.com/en/p7/view?ref=1",
+      "https://example.net/",
+      "https://host",
+      "not a url at all"
+    ).toDF("url").select(
+      TextOps.urlHost(col("url")).as("h"),
+      TextOps.registeredDomain(TextOps.urlHost(col("url"))).as("d"),
+      TextOps.urlPathDepth(col("url")).as("p")).as[(String, String, Long)].collect()
+    assert(rows(0) == (("www.sub.example.com", "example.com", 3L)))
+    assert(rows(1) == (("example.net", "example.net", 0L)))
+    assert(rows(2) == (("host", "host", 0L)))
+    assert(rows(3) == (("", "", 0L)))
+  }
+
+  test("gopher gate: bands on length, mean word, alpha ratio, repetition, stopwords") {
+    val out = Seq(
+      "the cat sat on the mat with a dog and a fox near it",   // healthy prose
+      "zz zz zz zz zz zz zz zz zz zz",                          // repetitive, no stopwords
+      "the of and a to in is it that 11 22 33 44 55 66 77 88 99 00 12" // alpha ratio < 0.8
+    ).toDF("text").select(TextOps.gopherPass(col("text"))).as[Boolean].collect()
+    assert(out.toSeq == Seq(true, false, false))
+    assert(Seq("ab cd ef").toDF("t").select(TextOps.meanWordLenMilli(col("t")))
+      .as[Long].head() == 2000L)
+    assert(Seq("ab 12 c3").toDF("t").select(TextOps.alphaWordRatioMilli(col("t")))
+      .as[Long].head() == 666L)
+  }
+
   test("ngramOverlap flags only docs sharing >= minOverlap distinct n-grams") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
     val train = Seq(
