@@ -8,7 +8,7 @@ import graft.pipeline.{LogPipeline, MatchCatalog, PipelineConfig}
 import graft.rex.RexCompiler
 import graft.sim.Ann
 import graft.text.TextOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.concurrent.TrieMap
 
@@ -23,6 +23,20 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic synthetic URL from `documents` columns (no url column exists in
+    * the testdata) — shared by the URL-curation queries and replayed verbatim by
+    * their DuckDB oracles. Collapses onto three registered domains so the per-
+    * domain cap query has genuinely hot keys.
+    */
+  private def synthUrl: Column = concat(lit("https://"),
+    when(col("doc_id") % 7 === 0, lit("www.")).otherwise(lit("")),
+    col("source"), lit("-"), (col("doc_id") % 50).cast("string"),
+    when(col("doc_id") % 3 === 0, lit(".example.com"))
+      .when(col("doc_id") % 3 === 1, lit(".example.org"))
+      .otherwise(lit(".example.net")),
+    lit("/"), col("lang"), lit("/p"), (col("doc_id") % 100).cast("string"),
+    when(col("doc_id") % 4 === 0, lit("/view?ref=1")).otherwise(lit("")))
 
   /** The log pipeline over the synthetic web_pages table, mined+matched once per
     * (session, sfDir) and cached — several queries project from it.
@@ -452,19 +466,23 @@ object SparkEntry {
       // URL curation primitives (host / registered domain / path depth / domain
       // blocklist) over urls synthesized deterministically from doc columns —
       // regexp-based (NOT parse_url) so the DuckDB oracle replays them verbatim
-      val url = concat(lit("https://"),
-        when(col("doc_id") % 7 === 0, lit("www.")).otherwise(lit("")),
-        col("source"), lit("-"), (col("doc_id") % 50).cast("string"),
-        when(col("doc_id") % 3 === 0, lit(".example.com"))
-          .when(col("doc_id") % 3 === 1, lit(".example.org"))
-          .otherwise(lit(".example.net")),
-        lit("/"), col("lang"), lit("/p"), (col("doc_id") % 100).cast("string"),
-        when(col("doc_id") % 4 === 0, lit("/view?ref=1")).otherwise(lit("")))
+      val url = synthUrl
       val host = TextOps.urlHost(url)
       val domain = TextOps.registeredDomain(host)
       t(s, dir, "documents").select(col("doc_id"), host.as("host"), domain.as("domain"),
         TextOps.urlPathDepth(url).as("depth"),
         (domain === "example.net").cast("long").as("blocked"))
+    }),
+    "td_domain_cap" -> ((s, dir) => {
+      // at most K docs per registered domain (skew-safe two-phase cap,
+      // Sampling.keyCap) — the synthetic urls collapse onto THREE registered
+      // domains, so at sf0.1 each domain is a ~67k-row hot key: exactly the skew
+      // the salted pre-cap exists for. Deterministic order (doc_id) makes the
+      // result row-identical to the oracle's single window.
+      val domain = TextOps.registeredDomain(TextOps.urlHost(synthUrl))
+      graft.sample.Sampling.keyCap(
+        t(s, dir, "documents").select(col("doc_id"), domain.as("domain")),
+        "domain", "doc_id", k = 50)
     }),
     "t_repetition" -> ((s, dir) => {
       // Gopher-style repetition quality signals: duplicate-token fraction (pure
@@ -935,6 +953,17 @@ object SparkEntry {
         "SELECT doc_id, host, domain, " +
         "(CASE WHEN path = '' OR path = '/' THEN 0 ELSE len(string_split(path, '/')) - 1 END)::BIGINT AS depth, " +
         "(domain = 'example.net')::BIGINT AS blocked FROM d"),
+    "td_domain_cap" ->
+      ("WITH u AS (SELECT doc_id, 'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END || " +
+        "source || '-' || (doc_id % 50)::VARCHAR || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '.example.com' WHEN doc_id % 3 = 1 THEN '.example.org' ELSE '.example.net' END || " +
+        "'/' || lang || '/p' || (doc_id % 100)::VARCHAR || " +
+        "CASE WHEN doc_id % 4 = 0 THEN '/view?ref=1' ELSE '' END AS url FROM documents), " +
+        "h AS (SELECT doc_id, regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host FROM u), " +
+        "d AS (SELECT doc_id, CASE WHEN host LIKE '%.%' THEN " +
+        "regexp_extract(host, '([^.]+\\.[^.]+)$', 1) ELSE host END AS domain FROM h), " +
+        "r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn FROM d) " +
+        "SELECT doc_id, domain FROM r WHERE rn <= 50"),
     "t_repetition" ->
       ("WITH base AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE " +
         "CAST(floor((len(ts) - len(list_distinct(ts))) * 1000 / GREATEST(len(ts), 1)) AS BIGINT) END AS dup_word_milli, " +

@@ -50,4 +50,32 @@ object Sampling {
       .filter(col("running_tokens") <= budget)
       .drop("running_tokens")
   }
+
+  /** Per-key row cap — "at most `k` documents per registered domain", the standard
+    * crawl-curation guard against one site dominating the corpus. Semantics are a
+    * single `row_number() OVER (PARTITION BY key ORDER BY order) <= k` — but one
+    * window alone must co-locate EVERY row of a key, and web domains are the
+    * canonical skew key (a hot domain can carry 10^9 rows at crawl scale, all into
+    * one reducer). Two phases instead:
+    *
+    *   1. pre-cap over (key, salt): bounds any one reducer's group to the salt
+    *      bucket's share and its OUTPUT to `k` rows — the hot domain leaves
+    *      phase 1 as ≤ salts·k rows, everything else unchanged;
+    *   2. final cap over key alone on the ≤ salts·k survivors.
+    *
+    * The global top-k by `order` is contained in the union of per-bucket top-k's,
+    * so the result is row-identical to the single-window form (which is exactly
+    * what the DuckDB oracle replays) for any deterministic total order.
+    */
+  def keyCap(df: DataFrame, keyCol: String, orderCol: String, k: Int,
+             salts: Int = 64): DataFrame = {
+    val pre = Window.partitionBy(col(keyCol), pmod(xxhash64(col(orderCol)), lit(salts)))
+      .orderBy(col(orderCol))
+    val fin = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    df.withColumn("pre_rn", row_number().over(pre))
+      .filter(col("pre_rn") <= k)
+      .withColumn("cap_rn", row_number().over(fin))
+      .filter(col("cap_rn") <= k)
+      .drop("pre_rn", "cap_rn")
+  }
 }

@@ -37,4 +37,18 @@ class SamplingSpec extends SparkSuite {
       "n_tokens", 70L).select("doc_id").as[Long].collect().toSet
     assert(again == kept.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("keyCap: two-phase salted cap == single-window semantics on a skewed key") {
+    // one hot key (900 rows) + two cold ones; salts=8 exercises the pre-cap merge
+    val rows = ((1L to 900L).map(i => (i, "hot")) ++
+      (901L to 910L).map(i => (i, "warm")) ++ Seq((911L, "cold"))).toDF("doc_id", "key")
+    val capped = Sampling.keyCap(rows.repartition(7), "key", "doc_id", k = 25, salts = 8)
+      .as[(Long, String)].collect().toSet
+    // single-window truth: lowest 25 doc_ids of hot, all of warm/cold
+    val want = ((1L to 25L).map(i => (i, "hot")) ++
+      (901L to 910L).map(i => (i, "warm")) ++ Seq((911L, "cold"))).toSet
+    assert(capped == want)
+    // k larger than any group: identity
+    assert(Sampling.keyCap(rows, "key", "doc_id", k = 1000).count() == 911)
+  }
 }
