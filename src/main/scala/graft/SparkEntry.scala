@@ -38,6 +38,21 @@ object SparkEntry {
     lit("/"), col("lang"), lit("/p"), (col("doc_id") % 100).cast("string"),
     when(col("doc_id") % 4 === 0, lit("/view?ref=1")).otherwise(lit("")))
 
+  /** DuckDB replay of [[synthUrl]] — ONE definition, interpolated into every
+    * URL-curation oracle so the recipe can't silently diverge between copies.
+    */
+  private val synthUrlSql: String =
+    "SELECT doc_id, 'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END || " +
+      "source || '-' || (doc_id % 50)::VARCHAR || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '.example.com' WHEN doc_id % 3 = 1 THEN '.example.org' ELSE '.example.net' END || " +
+      "'/' || lang || '/p' || (doc_id % 100)::VARCHAR || " +
+      "CASE WHEN doc_id % 4 = 0 THEN '/view?ref=1' ELSE '' END AS url FROM documents"
+
+  /** DuckDB replays of TextOps.urlHost / registeredDomain (expects cols url / host). */
+  private val urlHostSql = "regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)"
+  private val registeredDomainSql =
+    "CASE WHEN host LIKE '%.%' THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) ELSE host END"
+
   /** The log pipeline over the synthetic web_pages table, mined+matched once per
     * (session, sfDir) and cached — several queries project from it.
     */
@@ -941,27 +956,17 @@ object SparkEntry {
         "(n_tok BETWEEN 10 AND 100000 AND mean_word_milli BETWEEN 2000 AND 12000 " +
         "AND alpha_word_milli >= 800 AND dup_milli <= 500 AND sw >= 1)::BIGINT AS pass FROM m"),
     "t_url_ops" ->
-      ("WITH u AS (SELECT doc_id, 'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END || " +
-        "source || '-' || (doc_id % 50)::VARCHAR || " +
-        "CASE WHEN doc_id % 3 = 0 THEN '.example.com' WHEN doc_id % 3 = 1 THEN '.example.org' ELSE '.example.net' END || " +
-        "'/' || lang || '/p' || (doc_id % 100)::VARCHAR || " +
-        "CASE WHEN doc_id % 4 = 0 THEN '/view?ref=1' ELSE '' END AS url FROM documents), " +
-        "h AS (SELECT doc_id, regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host, " +
+      (s"WITH u AS ($synthUrlSql), " +
+        s"h AS (SELECT doc_id, $urlHostSql AS host, " +
         "regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path FROM u), " +
-        "d AS (SELECT doc_id, host, path, CASE WHEN host LIKE '%.%' THEN " +
-        "regexp_extract(host, '([^.]+\\.[^.]+)$', 1) ELSE host END AS domain FROM h) " +
+        s"d AS (SELECT doc_id, host, path, $registeredDomainSql AS domain FROM h) " +
         "SELECT doc_id, host, domain, " +
         "(CASE WHEN path = '' OR path = '/' THEN 0 ELSE len(string_split(path, '/')) - 1 END)::BIGINT AS depth, " +
         "(domain = 'example.net')::BIGINT AS blocked FROM d"),
     "td_domain_cap" ->
-      ("WITH u AS (SELECT doc_id, 'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END || " +
-        "source || '-' || (doc_id % 50)::VARCHAR || " +
-        "CASE WHEN doc_id % 3 = 0 THEN '.example.com' WHEN doc_id % 3 = 1 THEN '.example.org' ELSE '.example.net' END || " +
-        "'/' || lang || '/p' || (doc_id % 100)::VARCHAR || " +
-        "CASE WHEN doc_id % 4 = 0 THEN '/view?ref=1' ELSE '' END AS url FROM documents), " +
-        "h AS (SELECT doc_id, regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host FROM u), " +
-        "d AS (SELECT doc_id, CASE WHEN host LIKE '%.%' THEN " +
-        "regexp_extract(host, '([^.]+\\.[^.]+)$', 1) ELSE host END AS domain FROM h), " +
+      (s"WITH u AS ($synthUrlSql), " +
+        s"h AS (SELECT doc_id, $urlHostSql AS host FROM u), " +
+        s"d AS (SELECT doc_id, $registeredDomainSql AS domain FROM h), " +
         "r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn FROM d) " +
         "SELECT doc_id, domain FROM r WHERE rn <= 50"),
     "t_repetition" ->

@@ -69,13 +69,21 @@ object Sampling {
     */
   def keyCap(df: DataFrame, keyCol: String, orderCol: String, k: Int,
              salts: Int = 64): DataFrame = {
+    // temp names picked to not collide with caller columns (withColumn silently
+    // REPLACES an existing column, and the trailing drop would then delete the
+    // caller's data)
+    def temp(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
+        .find(n => !df.columns.contains(n)).get
+    val preRn = temp("__keycap_pre_rn")
+    val capRn = temp("__keycap_rn")
     val pre = Window.partitionBy(col(keyCol), pmod(xxhash64(col(orderCol)), lit(salts)))
       .orderBy(col(orderCol))
     val fin = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
-    df.withColumn("pre_rn", row_number().over(pre))
-      .filter(col("pre_rn") <= k)
-      .withColumn("cap_rn", row_number().over(fin))
-      .filter(col("cap_rn") <= k)
-      .drop("pre_rn", "cap_rn")
+    df.withColumn(preRn, row_number().over(pre))
+      .filter(col(preRn) <= k)
+      .withColumn(capRn, row_number().over(fin))
+      .filter(col(capRn) <= k)
+      .drop(preRn, capRn)
   }
 }
