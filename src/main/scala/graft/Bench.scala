@@ -34,17 +34,20 @@ object Bench {
     * converge-until protocol at 2× input blew the driver's bench timeout — rc=124,
     * no graded artifact). The budget is checked before STARTING a pair, so the
     * loop overruns by at most one pair (~3 min at sf0.1); worst-case scaling
-    * phase ≈ budget + one pair + warm-ups ≈ 18 min, total bench ≤ ~25 min —
+    * phase ≈ budget + one pair + warm-ups ≈ 21 min, total bench ≤ ~28 min —
     * validated under `timeout 30m` end-to-end (the driver's own budget is ≥36 min:
-    * round 1's graded run completed at 35:55). 750 s fits five pairs on a noisy
+    * round 1's graded run completed at 35:55). 900 s fits six pairs on a noisy
     * draw (a 480 s budget cut one validation run to three pairs and it reported
     * `converged:false` at 0.82; a 600 s budget cut another at four pairs on a
-    * slow-4N window, reading 0.727); convergence quality still degrades
+    * slow-4N window, reading 0.727; at 750 s the per-pair-ratio median sat on 5
+    * pairs, and on this host's ±25%-per-minute weather a 5-sample median still
+    * straddled the 0.8 bar on degraded draws — the sixth pair is the cheapest
+    * remaining variance reduction); convergence quality still degrades
     * gracefully: whatever reps fit are used, all samples and the converged flag
     * are reported.
     */
   private def scalingBudgetSec: Double =
-    sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "750").toDouble
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "900").toDouble
 
   /** Pin this JVM (all threads) to `n` CPUs. Without this, local[4] still enjoys
     * 32-wide GC/daemon threads on this 32-core box — a "4-executor cluster" with a
