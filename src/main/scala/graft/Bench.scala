@@ -27,7 +27,7 @@ import scala.collection.mutable.ArrayBuffer
 object Bench {
 
   private val ConvergeTol = 0.10
-  private val MaxReps = 6
+  private val MaxReps = 7
   private val MinReps = 3
 
   /** Hard wall-clock budget for the timed scaling loop (round-3 fix: round 2's
@@ -231,8 +231,12 @@ object Bench {
     val runs4n = ArrayBuffer[Double]()
     val loopStart = System.nanoTime()
     def loopElapsed: Double = (System.nanoTime() - loopStart) / 1e9
-    while ((runsN.size < MinReps || !converged(runsN) || !converged(runs4n)) &&
-           runsN.size < MaxReps && loopElapsed < scalingBudgetSec) {
+    // Run to the BUDGET, not to convergence: per-level last-within-10%-of-best
+    // stability is kept as the honesty FLAG below, but it is the wrong stopping
+    // rule for a ratio median — one validation run "converged" after 4 pairs
+    // with 2 minutes of budget unused and reported a 4-sample median on a
+    // degraded window. Budget minutes are already paid for; spend them on pairs.
+    while (runsN.size < MaxReps && loopElapsed < scalingBudgetSec) {
       // SANDWICH ordering per pair — [4N, N, 4N]: the long N run sits at the
       // midpoint of the pair's wall-clock window, so under (locally linear) host
       // drift the mean of the two bracketing 4N draws sees the same average
