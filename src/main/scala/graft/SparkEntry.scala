@@ -519,6 +519,19 @@ object SparkEntry {
       Dedup.exactGroups(docsWithDups(s, dir), "doc_id", "text")),
     "d_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(docsWithDups(s, dir), "doc_id", "text").select("doc_id")),
+    "d_incremental" -> ((s, dir) => {
+      // incremental crawl-snapshot dedup: the "new batch" (doc_id % 3 == 0) is
+      // deduped within itself, then anti-joined on content hash against the
+      // already-ingested snapshot (doc_id % 2 == 0) — the per-snapshot step of an
+      // incremental pipeline. The slices OVERLAP at doc_id % 6 == 0, so the
+      // oracle genuinely exercises the drop path; the seen side ships hashes
+      // only, never text.
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text").select("doc_id")
+    }),
     "d_minhash_pairs" -> ((s, dir) =>
       // oracled against the EXACT all-pairs Jaccard≥0.9 set: the trailing verify
       // stage guarantees precision 1.0, and at (bands=16, rows=4) every J≥0.9 pair
@@ -1412,6 +1425,12 @@ object SparkEntry {
         "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0) u " +
         "WHERE doc_id IN (SELECT min(doc_id) FROM (SELECT doc_id, text FROM documents UNION ALL " +
         "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0) GROUP BY md5(text))"),
+    "d_incremental" ->
+      ("WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0), " +
+        "seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0), " +
+        "keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text)) " +
+        "SELECT b.doc_id FROM batch b JOIN keep k USING (doc_id) " +
+        "WHERE md5(b.text) NOT IN (SELECT h FROM seen)"),
     "e_type_agg" ->
       ("SELECT event_type, count(*) AS cnt, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM events GROUP BY event_type"),

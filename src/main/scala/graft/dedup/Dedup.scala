@@ -30,6 +30,22 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental (cross-snapshot) exact dedup: rows of `batch` whose content does
+    * not already appear in `seen` — the "dedup the new crawl against the corpus"
+    * step an incremental pipeline runs per snapshot. Within-batch duplicates are
+    * collapsed first (keep-min), then the survivors anti-join the seen set on the
+    * content hash. At 10^12 seen rows the anti-join shuffles BOTH sides on the
+    * hash — fine, it is one co-partitioned exchange each; when the seen set is a
+    * compact hash table (ids only, as here) AQE turns it into a broadcast anti
+    * join on its own. Hash-only comparison: the seen side never ships text.
+    */
+  def incrementalDedup(batch: DataFrame, seen: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val seenHashes = seen.select(md5(col(textCol)).as("content_hash")).distinct()
+    exactDedup(batch, idCol, textCol)
+      .join(seenHashes, md5(col(textCol)) === seenHashes("content_hash"), "left_anti")
+  }
+
   // ---- shingles / MinHash / LSH ----------------------------------------------
 
   /** Word k-shingles as an array column — `transform(sequence(...))` keeps it inside

@@ -60,6 +60,23 @@ class OpsSpec extends SparkSuite {
     assert(kept == Set(0L, 2L, 3L, 4L))
   }
 
+  test("dedup: incremental batch-vs-seen keeps only genuinely new content") {
+    val seen = Seq((100L, "already ingested page"), (101L, "another old page"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "already ingested page"), // duplicate of the seen corpus → dropped
+      (2L, "a brand new page"),
+      (3L, "a brand new page"),      // within-batch dup → keep-min only
+      (4L, "another fresh one")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, seen, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+    // empty seen set degrades to plain exact dedup of the batch
+    val cold = Dedup.incrementalDedup(batch, seen.limit(0), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cold == Set(1L, 2L, 4L))
+  }
+
   test("dedup: minhash-LSH finds exact and near dups, skips unrelated") {
     val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
       k = 2, numHashes = 64, bands = 16, threshold = 0.5)
