@@ -1426,11 +1426,15 @@ object SparkEntry {
         "WHERE doc_id IN (SELECT min(doc_id) FROM (SELECT doc_id, text FROM documents UNION ALL " +
         "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0) GROUP BY md5(text))"),
     "d_incremental" ->
+      // NOT EXISTS, not NOT IN: Spark's left_anti keeps batch rows whose key has
+      // no match, even when the seen side contains NULLs — NOT IN would return
+      // zero rows overall if any seen hash were NULL (round-4 ADVICE; benign on
+      // this non-null corpus, but the semantics should match for nullable text)
       ("WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0), " +
         "seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0), " +
         "keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text)) " +
         "SELECT b.doc_id FROM batch b JOIN keep k USING (doc_id) " +
-        "WHERE md5(b.text) NOT IN (SELECT h FROM seen)"),
+        "WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = md5(b.text))"),
     "e_type_agg" ->
       ("SELECT event_type, count(*) AS cnt, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM events GROUP BY event_type"),

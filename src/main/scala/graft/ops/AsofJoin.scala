@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * this is the plan you want: it degrades into sort-based aggregation per
   * partition and never materializes candidate pairs.
   *
-  * Contract: `rightCols` must not collide with left column names; if several
-  * right rows share (key, ts) the caller pre-dedups (the oracle does the same —
-  * see SparkEntry `j_asof`). A NULL value inside a right payload column is
+  * Contract: `rightCols` must not collide with left column names (ENFORCED —
+  * `withColumn` silently replaces a same-named column, so a collision would
+  * corrupt the left payload with no error); if several right rows share
+  * (key, ts) the caller pre-dedups (the oracle does the same — see SparkEntry
+  * `j_asof`). A NULL value inside a right payload column is
   * indistinguishable from "no snapshot" to the ignoreNulls carry, so an older
   * non-null value would survive past it — encode explicit deletions as sentinel
   * values, not NULLs.
@@ -37,23 +39,31 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, key: String, tsCol: String,
            rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val collisions = rightCols.toSet.intersect(leftCols.toSet)
+    require(collisions.isEmpty,
+      s"AsofJoin.asof: rightCols ${collisions.mkString(", ")} collide with left " +
+        "column names — rename one side (withColumn would silently overwrite)")
+    // collision-safe temp name (same move as Sampling.keyCap): a caller column
+    // literally named "_side" would otherwise be silently replaced
+    val side = Iterator.from(0).map(i => if (i == 0) "_side" else s"_side_$i")
+      .find(n => !leftCols.contains(n) && !rightCols.contains(n)).get
     val l = left
-      .withColumn("_side", lit(1))
-      .select((Seq(col(key), col(tsCol), col("_side")) ++
+      .withColumn(side, lit(1))
+      .select((Seq(col(key), col(tsCol), col(side)) ++
         leftCols.filterNot(c => c == key || c == tsCol).map(col) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
     val r = right
-      .withColumn("_side", lit(0))
-      .select((Seq(col(key), col(tsCol), col("_side")) ++
+      .withColumn(side, lit(0))
+      .select((Seq(col(key), col(tsCol), col(side)) ++
         leftCols.filterNot(c => c == key || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightCols.map(col)): _*)
-    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"))
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    carried.filter(col("_side") === 1).drop("_side")
+    carried.filter(col(side) === 1).drop(side)
       .select((Seq(col(key), col(tsCol)) ++
         leftCols.filterNot(c => c == key || c == tsCol).map(col) ++
         rightCols.map(col)): _*)

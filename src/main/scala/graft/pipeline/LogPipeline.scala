@@ -26,7 +26,17 @@ import scala.collection.mutable
   *   overflow lines fall through to the self-template match path.
   * @param mineSaltBuckets salt width for the FULL mine's (len, hash(url) % nb)
   *   exchange — lifts the #distinct-lengths reducer ceiling; 1 = bit-exact
-  *   sequential per-length mine. Ignored when mineSampleLimit bounds the exchange.
+  *   sequential per-length mine. 0 (the default) = AUTO: nb is derived from the
+  *   parsed-line count as ceil(lines / mineRowsPerBucket) clamped to [1, 256]
+  *   (round-4 fix — a static 8 still bottlenecked the full-mine exchange on ~8
+  *   reducers per hot length at a genuine 100× corpus; same cure as
+  *   `Ann.autoPlanes`). Derived from the CORPUS SIZE, never the physical
+  *   partition layout: nb shapes the bucket-merge tree, so a layout-derived nb
+  *   would make the catalog depend on partition count / cluster size and break
+  *   the north_rule's routed-row-equality bar between N and 4N executors.
+  *   Ignored when mineSampleLimit bounds the exchange.
+  * @param mineRowsPerBucket auto-salt target rows per (length, bucket) reducer;
+  *   sized so one reducer's group stays comfortably in executor memory.
   */
 final case class PipelineConfig(
     logFormat: String,
@@ -38,7 +48,8 @@ final case class PipelineConfig(
     mineSampleLimit: Option[Int] = None,
     spellMineLimit: Int = 100000,
     saltBuckets: Int = 8,
-    mineSaltBuckets: Int = 8) {
+    mineSaltBuckets: Int = 0,
+    mineRowsPerBucket: Int = 500000) {
   lazy val fmt: RexCompiler.CompiledFormat = RexCompiler.compile(logFormat)
 }
 
@@ -76,9 +87,10 @@ final class MatchCatalog(val drain: DrainTree, val spell: SpellModel) extends Se
   *    confined to the subtree under `rootNode.childD[seqLen]` —
   *    `Drain/Drain.py::treeSearch/addSeqToPrefixTree`). Therefore mining each length
   *    group independently, in canonical (url, line_no) order, reproduces the
-  *    sequential result: we `repartition($"len", $"bucket")` (bucket =
-  *    hash(url) % mineSaltBuckets, lifting the #distinct-lengths reducer ceiling
-  *    — round 3) + `sortWithinPartitions` + `mapPartitions`, then merge the
+  *    sequential result: we `repartition($"len", $"bucket")` (bucket = hash(url)
+  *    % nb with nb auto-derived from the corpus size — lifts the
+  *    #distinct-lengths reducer ceiling and keeps lifting it as the corpus
+  *    grows, round 4) + `sortWithinPartitions` + `mapPartitions`, then merge the
   *    per-(length, bucket) trees canonically on the driver (bit-exact sequential
   *    per length at mineSaltBuckets = 1). The catalog is invariant to partition
   *    count — the keystone of the routed-row-equality parity bar.
@@ -176,7 +188,20 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
     // SAMPLED mine keeps nb = 1: its exchange is already bounded to
     // O(limit × partitions) rows, so the reducer ceiling is moot there, and the
     // global-first-`limit` cap semantics stay exact.
-    val nb = if (cfgL.mineSampleLimit.isDefined) 1 else math.max(1, cfgL.mineSaltBuckets)
+    val nb =
+      if (cfgL.mineSampleLimit.isDefined) 1
+      else if (cfgL.mineSaltBuckets > 0) cfgL.mineSaltBuckets
+      else {
+        // AUTO (mineSaltBuckets = 0): one cheap count over the (persisted)
+        // masked frame sizes the salt to the corpus — small corpora get nb = 1
+        // (bit-exact sequential per-length mine), a 100× corpus gets ~100×
+        // more buckets, so reducer parallelism scales with the data instead of
+        // plateauing at a constant (see the config scaladoc for why the
+        // derivation must be layout-independent).
+        val parsedLines = masked.filter(col("parsed")).count()
+        math.max(1L, math.min(256L,
+          (parsedLines + cfgL.mineRowsPerBucket - 1) / cfgL.mineRowsPerBucket)).toInt
+      }
     val bucketCol =
       if (nb == 1) lit(0) else pmod(xxhash64(col("url")), lit(nb)).cast("int")
     val partials: Array[((Int, Int), Array[Byte])] = bounded

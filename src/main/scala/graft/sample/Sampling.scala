@@ -77,7 +77,14 @@ object Sampling {
         .find(n => !df.columns.contains(n)).get
     val preRn = temp("__keycap_pre_rn")
     val capRn = temp("__keycap_rn")
-    val pre = Window.partitionBy(col(keyCol), pmod(xxhash64(col(orderCol)), lit(salts)))
+    // Salt on a hash of the FULL row, not of orderCol alone: the per-bucket
+    // top-k containment argument holds for ANY bucketing, but a salt derived
+    // from orderCol degrades back to one hot reducer when the order column has
+    // heavy duplicates inside a hot key (e.g. coarse timestamps — every dup
+    // hashes to the same bucket). The full-row hash only collides for
+    // content-identical rows, which no salt can separate (round-4 ADVICE).
+    val saltCol = pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts))
+    val pre = Window.partitionBy(col(keyCol), saltCol)
       .orderBy(col(orderCol))
     val fin = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
     df.withColumn(preRn, row_number().over(pre))

@@ -95,7 +95,11 @@ class SampledMineSpec extends SparkSuite {
       }
       (recs.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq, tree)
     }
-    val (salted, saltedTree) = reduceTaskRecords(PipelineConfig.hdfs)
+    // AUTO derivation under test (round 4): mineSaltBuckets stays 0 and the
+    // rows-per-bucket target is shrunk so this 4000-line corpus derives nb = 8 —
+    // the listener bound below holds on the full mine at the DERIVED salt width
+    val (salted, saltedTree) = reduceTaskRecords(
+      PipelineConfig.hdfs.copy(mineRowsPerBucket = 500))
     assert(salted.count(_ > 0) >= 2,
       s"salted mine must spread the hot length over several reducers: $salted")
     assert(salted.max < salted.sum,
