@@ -303,6 +303,31 @@ object SparkEntry {
       graft.logmine.LogMine.mineCatalog(lines, "line", maxDist = 0.34)
     }),
 
+    "logram_templates" -> ((s, dir) => {
+      // fourteenth miner (Logram n-gram dictionary, TSE'20 — the first of the
+      // post-2023 upstream additions, VERDICT missing #2): u spans 50 values
+      // so every (E,uK) bigram sits at ~N/250 « support = N/100, while the
+      // boundary bigram (BOS,E) carries the full type count ≈ N/5 — the type
+      // token stays static, both parameter tokens wildcard
+      val lines = t(s, dir, "events").select(
+        concat(col("event_type"), lit(" u"), (col("user_id") % 50).cast("string"),
+          lit(" v"), round(col("value") * 100).cast("long").cast("string")).as("line"))
+        .persist()
+      graft.logram.Logram.mineCatalog(lines, "line", support = lines.count() / 100)
+    }),
+
+    "brain_templates" -> ((s, dir) => {
+      // fifteenth miner (Brain frequency-pattern LCP grouping, TSC'23): each
+      // line's three (pos, word) frequencies are well separated (type ≈ N/5,
+      // u ≈ N/50, v ≈ N/1000), so the per-line modal tie resolves to the type
+      // frequency and the LCP is exactly the type token → five clusters,
+      // parameters wildcard by agreement
+      val lines = t(s, dir, "events").select(
+        concat(col("event_type"), lit(" u"), (col("user_id") % 50).cast("string"),
+          lit(" v"), round(col("value") * 100).cast("long").cast("string")).as("line"))
+      graft.brain.Brain.mineCatalog(lines, "line")
+    }),
+
     "logmine_xlen_templates" -> ((s, dir) => {
       // LogMine's CROSS-LENGTH alignment instance (round 4, VERDICT missing
       // #5): every 4th event's line carries an inserted trailing token, so each
@@ -1272,6 +1297,56 @@ object SparkEntry {
         "agg AS (SELECT cluster, pos1, min(tok) AS lo, max(tok) AS hi, sum(cnt) AS n FROM pe GROUP BY 1, 2), " +
         "tpl AS (SELECT cluster, string_agg(CASE WHEN lo = hi THEN lo ELSE '<*>' END, ' ' ORDER BY pos1) AS event_template, " +
         "max(CASE WHEN pos1 = 1 THEN n END) AS occurrences FROM agg GROUP BY cluster) " +
+        "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
+        "CAST(SUM(occurrences) AS BIGINT) AS occurrences FROM tpl GROUP BY event_template"),
+    "logram_templates" ->
+      // Logram replayed relationally: boundary-extended bigram dictionary
+      // (chr(1)/chr(2) = the engine's BOS/EOS markers) → per-token max
+      // covering-bigram frequency vs support → piece assembly
+      ("WITH lines AS (SELECT event_type || ' u' || CAST(user_id % 50 AS VARCHAR) || ' v' || " +
+        "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS line FROM events), " +
+        "s AS (SELECT count(*) // 100 AS sup FROM lines), " +
+        "pat AS (SELECT trim(line) AS p, count(*) AS cnt FROM lines GROUP BY 1), " +
+        "t AS (SELECT p, cnt, string_split_regex(p, '\\s+') AS toks, " +
+        "list_concat(list_concat([chr(1)], string_split_regex(p, '\\s+')), [chr(2)]) AS ext FROM pat), " +
+        "bgx AS (SELECT p, cnt, i AS bpos1, ext[i] || ' ' || ext[i + 1] AS bg FROM " +
+        "(SELECT p, cnt, ext, unnest(range(1, len(ext))) AS i FROM t)), " +
+        "dict AS (SELECT bg, sum(cnt) AS f FROM bgx GROUP BY bg), " +
+        "votes AS (SELECT bgx.p, unnest([bgx.bpos1 - 1, bgx.bpos1]) AS tpos1, d.f " +
+        "FROM bgx JOIN dict d ON bgx.bg = d.bg), " +
+        "pe AS (SELECT p, cnt, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM t), " +
+        "judged AS (SELECT pe.p, pe.cnt, pe.pos1, pe.tok, max(v.f) AS fmax FROM pe " +
+        "JOIN votes v ON pe.p = v.p AND pe.pos1 = v.tpos1 GROUP BY 1, 2, 3, 4), " +
+        "tpl AS (SELECT p, cnt, string_agg(CASE WHEN fmax >= (SELECT sup FROM s) " +
+        "THEN tok ELSE '<*>' END, ' ' ORDER BY pos1) AS event_template FROM judged GROUP BY p, cnt) " +
+        "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
+        "CAST(SUM(cnt) AS BIGINT) AS occurrences FROM tpl GROUP BY event_template"),
+    "brain_templates" ->
+      // Brain replayed relationally: weighted (len, pos, word) frequencies →
+      // per-line modal frequency (most positions, ties to larger f) → LCP key
+      // (the (pos:word) set at the modal f, sorted as strings exactly like the
+      // engine's array_sort(collect_list)) → agreement assembly
+      ("WITH lines AS (SELECT event_type || ' u' || CAST(user_id % 50 AS VARCHAR) || ' v' || " +
+        "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS line FROM events), " +
+        "pat AS (SELECT trim(line) AS p, count(*) AS cnt FROM lines GROUP BY 1), " +
+        "t AS (SELECT p, cnt, string_split_regex(p, '\\s+') AS toks, " +
+        "len(string_split_regex(p, '\\s+')) AS l FROM pat), " +
+        "pe AS (SELECT p, cnt, l, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM t), " +
+        "freq AS (SELECT l, pos1, tok, sum(cnt) AS f FROM pe GROUP BY 1, 2, 3), " +
+        "m AS (SELECT pe.p, pe.l, pe.pos1, pe.tok, freq.f FROM pe JOIN freq " +
+        "ON pe.l = freq.l AND pe.pos1 = freq.pos1 AND pe.tok = freq.tok), " +
+        "fc AS (SELECT p, f, count(*) AS npos FROM m GROUP BY 1, 2), " +
+        "modal AS (SELECT p, f AS modal_f FROM (SELECT p, f, " +
+        "row_number() OVER (PARTITION BY p ORDER BY npos DESC, f DESC) AS rk FROM fc) WHERE rk = 1), " +
+        "lcp AS (SELECT m.p, string_agg(CAST(m.pos1 - 1 AS VARCHAR) || ':' || m.tok, ',' " +
+        "ORDER BY CAST(m.pos1 - 1 AS VARCHAR) || ':' || m.tok) AS lcp FROM m " +
+        "JOIN modal ON m.p = modal.p AND m.f = modal.modal_f GROUP BY m.p), " +
+        "wc AS (SELECT t.p, t.cnt, t.toks, CAST(t.l AS VARCHAR) || '|' || lcp.lcp AS ckey " +
+        "FROM t JOIN lcp ON t.p = lcp.p), " +
+        "pe2 AS (SELECT ckey, cnt, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos1 FROM wc), " +
+        "agg AS (SELECT ckey, pos1, min(tok) AS lo, max(tok) AS hi, sum(cnt) AS n FROM pe2 GROUP BY 1, 2), " +
+        "tpl AS (SELECT ckey, string_agg(CASE WHEN lo = hi THEN lo ELSE '<*>' END, ' ' ORDER BY pos1) AS event_template, " +
+        "max(CASE WHEN pos1 = 1 THEN n END) AS occurrences FROM agg GROUP BY ckey) " +
         "SELECT substr(md5(event_template), 1, 8) AS event_id, event_template, " +
         "CAST(SUM(occurrences) AS BIGINT) AS occurrences FROM tpl GROUP BY event_template"),
     "logmine_xlen_templates" ->

@@ -1,0 +1,78 @@
+package graft.brain
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Brain-style frequency-pattern template miner (Yu, Wu, Li, Yu et al.,
+  * "Brain: Log Parsing with Bidirectional Parallel Tree", IEEE TSC 2023;
+  * post-2023 upstream logparser layouts ship it as `logparser/Brain/` —
+  * upstream-from-memory cite, SURVEY §0.1; presence in the reference fork
+  * unverifiable, empty mount).
+  *
+  * Core idea: within a token-count group, the CONSTANT tokens of one event
+  * type co-occur, so they all carry the SAME (position, word) frequency —
+  * and a log line's "longest common pattern" (LCP) is the set of positions
+  * whose frequency value is shared by the most positions of that line
+  * (variables scatter across many frequency values, constants pile onto
+  * one). Lines sharing an LCP form a group; Brain then grows a bidirectional
+  * tree from the LCP — higher-frequency positions become constants upward,
+  * lower-frequency positions become variables downward.
+  *
+  * Deterministic declarative instance:
+  *  1. frequency table per (token count, position, word), duplicate lines
+  *     weighted (one map-side-combinable count);
+  *  2. per distinct line: modal frequency value = the value shared by the
+  *     most positions, ties to the LARGER frequency (the more-frequent group
+  *     is the likelier constant skeleton — and the tie-break makes the
+  *     result scan-order-free where the upstream's is not);
+  *  3. cluster key = (token count, the (position:word) set at the modal
+  *     frequency);
+  *  4. the bidirectional refinement collapses to positionwise agreement in
+  *     this deterministic instance: a non-LCP position stays constant iff
+  *     every member agrees (≈ the upward direction), else `<*>` (downward).
+  *
+  * Scale shape: two hash aggregations and a broadcast-sized frequency join —
+  * no pairwise stage, no iteration; DuckDB-provable end-to-end (SparkEntry
+  * `brain_templates`).
+  */
+object Brain {
+
+  /** Mine the template catalog: (event_template, occurrences). */
+  def mineTemplates(lines: DataFrame, lineCol: String): DataFrame = {
+    val base = lines
+      .select(trim(col(lineCol)).as("line"))
+      .filter(col("line") =!= "")
+      .groupBy("line").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks", split(col("line"), "\\s+"))
+      .withColumn("len", size(col("toks")))
+
+    val pe = base.select(col("line"), col("cnt"), col("len"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    // frequency of each (len, pos, word), weighted by line multiplicity
+    val freq = pe.groupBy("len", "pos", "tok").agg(sum(col("cnt")).as("f"))
+    val m = pe.join(freq, Seq("len", "pos", "tok"))
+
+    // modal frequency per line: the f value carried by the most positions;
+    // ties resolve to the larger f
+    val modal = m.groupBy("line", "f").agg(count(lit(1)).as("npos"))
+      .groupBy("line")
+      .agg(max_by(col("f"), struct(col("npos"), col("f"))).as("modal_f"))
+
+    // LCP key: the ordered (pos:word) set at the modal frequency
+    val lcp = m.join(modal, Seq("line"))
+      .filter(col("f") === col("modal_f"))
+      .groupBy("line")
+      .agg(concat_ws(",", array_sort(collect_list(
+        concat(col("pos").cast("string"), lit(":"), col("tok"))))).as("lcp"))
+    val withCluster = base.join(lcp, Seq("line"))
+      .withColumn("ckey", concat(col("len").cast("string"), lit("|"), col("lcp")))
+
+    graft.miner.MinerOutput.agreementTemplates(
+      withCluster.select(col("ckey"), col("cnt").as("w"),
+        posexplode(col("toks")).as(Seq("pos", "tok"))))
+  }
+
+  /** [[mineTemplates]] plus the engine's md5-prefix event id. */
+  def mineCatalog(lines: DataFrame, lineCol: String): DataFrame =
+    graft.miner.MinerOutput.withEventId(mineTemplates(lines, lineCol))
+}
