@@ -609,6 +609,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text").select("doc_id")
     }),
+    "d_para_dedup" -> ((s, dir) => {
+      // paragraph-level exact dedup (C4/Dolma curation step): every doc is
+      // [unique head ¶][GLOBAL boilerplate ¶][unique tail ¶] — after dedup the
+      // boilerplate survives only in the smallest doc_id; docs shorter than 51
+      // chars contribute colliding empty tails, exercising the same rule. The
+      // result ships as (doc_id, md5(text), length) so the compare stays
+      // compact while digesting the full reassembled text.
+      val docs = t(s, dir, "documents").select(col("doc_id"), concat(
+        substring(col("text"), 1, 50), lit("\n\n"),
+        lit("subscribe to our newsletter for updates"), lit("\n\n"),
+        substring(col("text"), 51, 50)).as("text"))
+      Dedup.paragraphDedup(docs, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+    }),
     "d_minhash_pairs" -> ((s, dir) =>
       // oracled against the EXACT all-pairs Jaccard≥0.9 set: the trailing verify
       // stage guarantees precision 1.0, and at (bands=16, rows=4) every J≥0.9 pair
@@ -1045,6 +1060,49 @@ object SparkEntry {
       // every sf0.01 line matches via the Drain tree (Spell/self paths carry
       // zero lines on this well-formed corpus — SampledMineSpec exercises them)
       "SELECT * FROM (VALUES ('drain', CAST(229673 AS BIGINT))) AS t(matched_by, \"rows\")",
+    "log_eval_scores" ->
+      // pinned for the sf0.01 gate: the evaluator's scores over the seed-fixed
+      // assignment are IEEE constants (17-sig-digit literals round-trip the
+      // exact float64 bits); a1/a4/a5 oracle the score MATH relationally —
+      // this row pins the end-to-end pipeline quality itself, so any silent
+      // mining/matching drift now fails the driver gate, not just GoldenSpec
+      // STRING-cast doubles: a bare decimal literal goes through DECIMAL and
+      // shifts the last ulp; string→DOUBLE parsing is correctly rounded
+      ("SELECT * FROM (VALUES (CAST('0.9968969523403495' AS DOUBLE), CAST(1.0 AS DOUBLE), " +
+        "CAST('0.9984460652033077' AS DOUBLE), CAST('0.9774418412264393' AS DOUBLE), " +
+        "CAST(229673 AS BIGINT))) AS t(\"precision\", \"recall\", \"f1\", \"parsing_accuracy\", \"total\")"),
+    "log_pa_by_style" ->
+      // pinned (sf-independent: the sweep mines a fixed 150 pages per style);
+      // the query ALSO self-asserts per-style floors, so this oracle upgrades
+      // an already-failing-below-floor check into exact-PA driver evidence
+      ("SELECT * FROM (VALUES ('android', CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('apache', CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('bgl', CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('hadoop', CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('hdfs', CAST('0.9740634005763689' AS DOUBLE), CAST(0.95 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('healthapp', CAST(1.0 AS DOUBLE), CAST(0.7 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('hpc', CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('linux', CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('mac', CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('openssh', CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('openstack', CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('proxifier', CAST(1.0 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('spark', CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('thunderbird', CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('windows', CAST('0.8570605187319885' AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT)), " +
+        "('zookeeper', CAST(1.0 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(1735 AS BIGINT))) " +
+        "AS t(\"style\", \"parsing_accuracy\", \"floor\", \"n_lines\")"),
+    "log_resume_metrics" ->
+      // pinned (sf-independent: the resumable run covers a fixed 100 pages in
+      // 3 chunks); per-chunk routed-row counts + the zero unparsed rows are
+      // deterministic generator facts
+      ("SELECT * FROM (VALUES ('drain', CAST(396 AS BIGINT), CAST(0 AS INTEGER)), " +
+        "('unparsed', CAST(0 AS BIGINT), CAST(0 AS INTEGER)), " +
+        "('drain', CAST(350 AS BIGINT), CAST(1 AS INTEGER)), " +
+        "('unparsed', CAST(0 AS BIGINT), CAST(1 AS INTEGER)), " +
+        "('drain', CAST(429 AS BIGINT), CAST(2 AS INTEGER)), " +
+        "('unparsed', CAST(0 AS BIGINT), CAST(2 AS INTEGER))) " +
+        "AS t(\"matched_by\", \"rows\", \"chunk\")"),
     "molfi_templates" ->
       // expectations derived from the synthesis rule: the by-type partition is
       // the Pareto knee (spec 1/2 × freq 1/5 beats one-cluster's 0 and
@@ -1566,6 +1624,19 @@ object SparkEntry {
         "(SELECT * FROM gp UNION ALL SELECT * FROM wp) GROUP BY ckey) " +
         "SELECT substr(md5(a.event_template), 1, 8) AS event_id, a.event_template, " +
         "CAST(m.occurrences AS BIGINT) AS occurrences FROM asm a JOIN members m ON a.ckey = m.ckey"),
+    "d_para_dedup" ->
+      // full relational replay: split on the double-newline separator, keeper =
+      // first (doc_id, pos) per paragraph hash, ordered reassembly
+      ("WITH docs AS (SELECT doc_id, substr(text, 1, 50) || chr(10) || chr(10) || " +
+        "'subscribe to our newsletter for updates' || chr(10) || chr(10) || " +
+        "substr(text, 51, 50) AS text FROM documents), " +
+        "paras AS (SELECT doc_id, generate_subscripts(p, 1) AS pos1, unnest(p) AS para " +
+        "FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS p FROM docs)), " +
+        "kept AS (SELECT doc_id, pos1, para, row_number() OVER " +
+        "(PARTITION BY md5(para) ORDER BY doc_id, pos1) AS rk FROM paras), " +
+        "asm AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos1) AS text " +
+        "FROM kept WHERE rk = 1 GROUP BY doc_id) " +
+        "SELECT doc_id, md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS n_chars FROM asm"),
     "d_minhash_pairs" ->
       // exact all-pairs shingle Jaccard — LSH's precision is exact (verify stage)
       // and its recall on this corpus is 1.0 (see the query comment), so the

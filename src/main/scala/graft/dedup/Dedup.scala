@@ -46,6 +46,37 @@ object Dedup {
       .join(seenHashes, md5(col(textCol)) === seenHashes("content_hash"), "left_anti")
   }
 
+  /** Paragraph-level exact dedup (the C4/Dolma curation step): split each doc on
+    * `sep`, keep only the GLOBALLY FIRST occurrence of each distinct paragraph
+    * (canonical keeper = smallest (id, position)), and reassemble every doc's
+    * surviving paragraphs in their original order. Boilerplate that repeats
+    * across a crawl — navigation chrome, cookie banners, license footers —
+    * survives exactly once, in the earliest doc that carries it.
+    *
+    * Scale shape: explode → one hash-agg on the paragraph hash (min-struct
+    * keeper, map-side combinable) → one co-partitioned hash join back → one
+    * per-doc reassembly agg. Nothing is pairwise; the paragraph text crosses
+    * the wire once (inside the explode), keepers ship hash + (id, pos) only.
+    * Docs whose every paragraph was seen earlier come back with empty text —
+    * callers drop or gate them (the count is the caller's signal, not a silent
+    * drop here).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("para_pos", "para")))
+      .withColumn("h", md5(col("para")))
+    val keep = paras.groupBy("h")
+      .agg(min(struct(col(idCol).as("kid"), col("para_pos").as("kpos"))).as("k"))
+      .select(col("h"), col("k.kid").as("kid"), col("k.kpos").as("kpos"))
+    paras.join(keep, Seq("h"))
+      .filter(col(idCol) === col("kid") && col("para_pos") === col("kpos"))
+      .groupBy(idCol)
+      .agg(concat_ws(sep, array_sort(collect_list(struct(col("para_pos"), col("para"))))
+        .getField("para")).as(textCol))
+  }
+
   // ---- shingles / MinHash / LSH ----------------------------------------------
 
   /** Word k-shingles as an array column — `transform(sequence(...))` keeps it inside

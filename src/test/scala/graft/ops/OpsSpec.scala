@@ -60,6 +60,23 @@ class OpsSpec extends SparkSuite {
     assert(kept == Set(0L, 2L, 3L, 4L))
   }
 
+  test("dedup: paragraph dedup keeps the globally first occurrence, reassembles in order") {
+    val d = Seq(
+      (1L, "intro one\n\nshared boilerplate\n\ntail one"),
+      (2L, "intro two\n\nshared boilerplate\n\ntail two"),
+      (3L, "shared boilerplate\n\nintro one")) // both paras seen in doc 1
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "intro one\n\nshared boilerplate\n\ntail one") // first carrier keeps all
+    assert(out(2L) == "intro two\n\ntail two") // boilerplate stripped, order kept
+    assert(!out.contains(3L)) // every paragraph seen earlier → doc drops out
+    // deterministic under repartition
+    val out2 = Dedup.paragraphDedup(d.repartition(7), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out2 == out)
+  }
+
   test("dedup: incremental batch-vs-seen keeps only genuinely new content") {
     val seen = Seq((100L, "already ingested page"), (101L, "another old page"))
       .toDF("doc_id", "text")
