@@ -39,12 +39,15 @@ object Brain {
 
   /** Mine the template catalog: (event_template, occurrences). */
   def mineTemplates(lines: DataFrame, lineCol: String): DataFrame = {
+    // persisted: feeds the frequency table, the modal/LCP joins AND the final
+    // assembly — one corpus scan+dedup instead of three
     val base = lines
       .select(trim(col(lineCol)).as("line"))
       .filter(col("line") =!= "")
       .groupBy("line").agg(count(lit(1)).as("cnt"))
       .withColumn("toks", split(col("line"), "\\s+"))
       .withColumn("len", size(col("toks")))
+      .persist()
 
     val pe = base.select(col("line"), col("cnt"), col("len"),
       posexplode(col("toks")).as(Seq("pos", "tok")))
@@ -67,9 +70,13 @@ object Brain {
     val withCluster = base.join(lcp, Seq("line"))
       .withColumn("ckey", concat(col("len").cast("string"), lit("|"), col("lcp")))
 
-    graft.miner.MinerOutput.agreementTemplates(
+    // eager checkpoint of the tiny catalog, then release the staged cache
+    val out = graft.miner.MinerOutput.agreementTemplates(
       withCluster.select(col("ckey"), col("cnt").as("w"),
         posexplode(col("toks")).as(Seq("pos", "tok"))))
+      .localCheckpoint(true)
+    base.unpersist()
+    out
   }
 
   /** [[mineTemplates]] plus the engine's md5-prefix event id. */

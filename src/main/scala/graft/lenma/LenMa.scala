@@ -67,6 +67,8 @@ object LenMa {
     */
   def mineTemplatesSim(lines: DataFrame, lineCol: String, sim: Double,
                        maxMismatchFrac: Double = 0.5): DataFrame = {
+    // persisted: feeds the banding and both verify sides — one corpus
+    // scan+dedup instead of three (same contract as LogMine)
     val patterns = lines
       .select(trim(col(lineCol)).as("p"))
       .filter(col("p") =!= "")
@@ -75,6 +77,7 @@ object LenMa {
       .withColumn("toks", split(col("p"), "\\s+"))
       .withColumn("lv", transform(col("toks"), t => length(t).cast("long")))
       .withColumn("len", size(col("toks")))
+      .persist()
 
     // exact pigeonhole banding over the LENGTH VECTOR (LogMine's trick): with
     // nb = floor(frac·len)+1 contiguous bands, a pair differing in ≤ floor(frac·len)
@@ -117,9 +120,13 @@ object LenMa {
     val withCluster = patterns
       .join(labeled.withColumnRenamed("id", "pid"), Seq("pid"), "left")
       .withColumn("cluster", coalesce(col("component"), col("pid")))
-    graft.miner.MinerOutput.agreementTemplates(
+    // eager checkpoint of the tiny catalog, then release the staged cache
+    val out = graft.miner.MinerOutput.agreementTemplates(
       withCluster.select(col("cluster").as("ckey"), col("cnt").as("w"),
         posexplode(col("toks")).as(Seq("pos", "tok"))))
+      .localCheckpoint(true)
+    patterns.unpersist()
+    out
   }
 
   /** [[mineTemplatesSim]] plus the engine's md5-prefix event id. */

@@ -57,6 +57,9 @@ object LogMine {
     // level 0: distinct processed patterns with multiplicities; the pattern
     // string doubles as a stable id via xxhash64 (collision ~n²/2⁶⁴ — negligible
     // at mine-phase inputs, same contract as the miner lid)
+    // persisted: the distinct-pattern set feeds the banding AND both verify
+    // sides — without the cache each consumer re-runs the full corpus scan +
+    // dedup exchange (3 scans instead of 1 at any scale)
     val patterns = lines
       .select(trim(col(lineCol)).as("p"))
       .filter(col("p") =!= "")
@@ -64,6 +67,7 @@ object LogMine {
       .withColumn("pid", xxhash64(col("p")))
       .withColumn("toks", split(col("p"), "\\s+"))
       .withColumn("len", size(col("toks")))
+      .persist()
 
     // exact pigeonhole banding: nb = floor(maxDist·len)+1 contiguous bands; a
     // pair within maxDist matches at least one full band
@@ -100,10 +104,15 @@ object LogMine {
       .withColumn("cluster", coalesce(col("component"), col("pid")))
 
     // per cluster: positionwise agreement -> constant, else wildcard (shared
-    // assembly; weight = the level-0 pattern multiplicity)
-    graft.miner.MinerOutput.agreementTemplates(
+    // assembly; weight = the level-0 pattern multiplicity). The tiny catalog
+    // is eagerly checkpointed so the staged cache can be RELEASED here instead
+    // of leaking past return (round-3 ADVICE contract, same as minhash).
+    val out = graft.miner.MinerOutput.agreementTemplates(
       withCluster.select(col("cluster").as("ckey"), col("cnt").as("w"),
         posexplode(col("toks")).as(Seq("pos", "tok"))))
+      .localCheckpoint(true)
+    patterns.unpersist()
+    out
   }
 
   /** [[mineTemplates]] plus the engine's md5-prefix event id. */
@@ -257,7 +266,10 @@ object LogMine {
       .join(labeled.withColumnRenamed("id", "pid"), Seq("pid"), "left")
       .withColumn("cluster", coalesce(col("component"), col("pid")))
 
-    // canonical-order fold merge; occurrences = Σ member multiplicities
+    // canonical-order fold merge; occurrences = Σ member multiplicities. The
+    // tiny catalog is eagerly checkpointed BEFORE the cache release — an
+    // unpersist ahead of materialization would silently re-run the corpus
+    // dedup once per downstream consumer.
     val mergeU = udf((members: Seq[String]) =>
       members.map(_.split("\\s+").toSeq).reduceLeft(alignMerge).mkString(" "))
     val out = withCluster.groupBy("cluster")
@@ -265,6 +277,7 @@ object LogMine {
         sum("cnt").as("occurrences"))
       .groupBy("event_template")
       .agg(sum("occurrences").as("occurrences"))
+      .localCheckpoint(true)
     patterns.unpersist()
     out
   }

@@ -42,11 +42,14 @@ object Logram {
 
   /** Mine the template catalog: (event_template, occurrences). */
   def mineTemplates(lines: DataFrame, lineCol: String, support: Long): DataFrame = {
+    // persisted: feeds the dictionary build, the vote join AND the token
+    // explode — one corpus scan+dedup instead of three
     val base = lines
       .select(trim(col(lineCol)).as("line"))
       .filter(col("line") =!= "")
       .groupBy("line").agg(count(lit(1)).as("cnt"))
       .withColumn("toks", split(col("line"), "\\s+"))
+      .persist()
     // boundary-extended bigrams: ext = BOS +: toks :+ EOS; bigram k =
     // (ext(k), ext(k+1)), k = 0..len — bigram k covers token k−1 (right
     // element) and token k (left element)
@@ -74,11 +77,15 @@ object Logram {
       .withColumn("piece",
         when(col("fmax") >= support, col("tok")).otherwise(lit("<*>")))
 
-    judged.groupBy("line", "cnt")
+    // eager checkpoint of the tiny catalog, then release the staged cache
+    val out = judged.groupBy("line", "cnt")
       .agg(concat_ws(" ", array_sort(collect_list(struct(col("pos"), col("piece"))))
         .getField("piece")).as("event_template"))
       .groupBy("event_template")
       .agg(sum("cnt").as("occurrences"))
+      .localCheckpoint(true)
+    base.unpersist()
+    out
   }
 
   /** [[mineTemplates]] plus the engine's md5-prefix event id. */
