@@ -22,11 +22,11 @@ import org.apache.spark.sql.functions._
   *    and max matches over all alignments IS the token LCS), verified by a
   *    small DP UDF. Cross-length candidates come from a SHIFT-AWARE pigeonhole:
   *    bands are laid over the shorter pattern and the longer one contributes
-  *    each band's token slice at offsets 0 AND +1 — an alignment with one
-  *    insertion and ≤ s substitutions damages ≤ s + 1 bands (subs hit their
-  *    band, the insertion point splits clean bands into offset-0 before /
-  *    offset-1 after), so nb = s_max + 2 bands guarantee one clean matching
-  *    band. The banding is exact for single-insertion alignments; pairs whose
+  *    each band's token slice at offsets 0..Δ — an alignment with Δ
+  *    insertions and ≤ s substitutions damages ≤ s + Δ bands (subs hit their
+  *    band, each insertion point splits clean bands into before/after offset
+  *    groups), so nb = s_max + Δ + 1 bands guarantee one clean matching
+  *    band. The banding is exact for insertion-only length deltas; pairs whose
   *    only qualifying alignments need extra paired indels are out of contract
   *    (documented recall bound — the verify stage keeps precision exact).
   *    Mixed-length cluster templates are assembled by folding members in
@@ -207,9 +207,12 @@ object LogMine {
     // SHORTER length l: s_max = floor(l − (1−maxDist)(l + lenB)/2); the longer
     // side emits each band's slice at every offset 0..Δ.
     val crossCands = (1 to maxLenDelta).map { delta =>
+      // nb = s_max + delta + 1: each of the ≤ s_max substitutions damages its
+      // band and each of the delta insertion points splits one band into an
+      // offset-0/offset-k boundary — one band always survives intact
       val sMax = floor(col("len") - (lit(1.0) - maxDist) * (col("len") * 2 + delta) / 2)
       val bandedShort = patterns
-        .withColumn("nbx", (greatest(sMax, lit(0)) + 2).cast("int"))
+        .withColumn("nbx", (greatest(sMax, lit(0)) + delta + 1).cast("int"))
         .filter(sMax >= 0)
         .select(col("pid"), col("len"), col("toks"), col("nbx"),
           explode(sequence(lit(0), col("nbx") - 1)).as("band"))
@@ -224,7 +227,7 @@ object LogMine {
       val sMaxL = floor(lenShort - (lit(1.0) - maxDist) * (lenShort * 2 + delta) / 2)
       val bandedLong = patterns
         .filter(col("len") > delta && sMaxL >= 0)
-        .withColumn("nbx", (greatest(sMaxL, lit(0)) + 2).cast("int"))
+        .withColumn("nbx", (greatest(sMaxL, lit(0)) + delta + 1).cast("int"))
         .withColumn("lshort", lenShort)
         .select(col("pid"), col("lshort"), col("toks"), col("nbx"),
           explode(sequence(lit(0), col("nbx") - 1)).as("band"))
