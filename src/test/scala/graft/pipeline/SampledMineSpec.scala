@@ -110,6 +110,16 @@ class SampledMineSpec extends SparkSuite {
       s"unsalted mine funnels through one reducer: $unsalted")
     // quality/determinism: bucketed merge reproduces the unsalted catalog here
     assert(saltedTree.catalog() == unsaltedTree.catalog())
+    // the derived-nb catalog must also be invariant to the SHUFFLE PARTITION
+    // COUNT (bucket membership is hash(url), never physical layout) — the
+    // north_rule's catalog-parity-across-cluster-sizes bar at nb > 1
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val tree5 = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      new LogPipeline(PipelineConfig.hdfs.copy(mineRowsPerBucket = 500))
+        .mineDrain(maskedAllSameLen)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(tree5.catalog() == saltedTree.catalog())
   }
 
   test("sampled mine is deterministic across partitionings") {
