@@ -63,18 +63,22 @@ object Dedup {
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n"): DataFrame = {
+    // "__pd_"-prefixed internals: collision-safe against caller columns (the
+    // same hardening contract as Sampling.keyCap / AsofJoin)
+    require(!idCol.startsWith("__pd_") && !df.columns.exists(_.startsWith("__pd_")),
+      "paragraphDedup: __pd_-prefixed columns are reserved internals")
     val paras = df.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("para_pos", "para")))
-      .withColumn("h", md5(col("para")))
-    val keep = paras.groupBy("h")
-      .agg(min(struct(col(idCol).as("kid"), col("para_pos").as("kpos"))).as("k"))
-      .select(col("h"), col("k.kid").as("kid"), col("k.kpos").as("kpos"))
-    paras.join(keep, Seq("h"))
-      .filter(col(idCol) === col("kid") && col("para_pos") === col("kpos"))
+        .as(Seq("__pd_pos", "__pd_para")))
+      .withColumn("__pd_h", md5(col("__pd_para")))
+    val keep = paras.groupBy("__pd_h")
+      .agg(min(struct(col(idCol).as("kid"), col("__pd_pos").as("kpos"))).as("k"))
+      .select(col("__pd_h"), col("k.kid").as("__pd_kid"), col("k.kpos").as("__pd_kpos"))
+    paras.join(keep, Seq("__pd_h"))
+      .filter(col(idCol) === col("__pd_kid") && col("__pd_pos") === col("__pd_kpos"))
       .groupBy(idCol)
-      .agg(concat_ws(sep, array_sort(collect_list(struct(col("para_pos"), col("para"))))
-        .getField("para")).as(textCol))
+      .agg(concat_ws(sep, array_sort(collect_list(struct(col("__pd_pos"), col("__pd_para"))))
+        .getField("__pd_para")).as(textCol))
   }
 
   // ---- shingles / MinHash / LSH ----------------------------------------------
