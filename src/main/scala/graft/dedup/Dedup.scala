@@ -57,9 +57,12 @@ object Dedup {
     * keeper, map-side combinable) → one co-partitioned hash join back → one
     * per-doc reassembly agg. Nothing is pairwise; the paragraph text crosses
     * the wire once (inside the explode), keepers ship hash + (id, pos) only.
-    * Docs whose every paragraph was seen earlier come back with empty text —
-    * callers drop or gate them (the count is the caller's signal, not a silent
-    * drop here).
+    * Docs whose every paragraph was seen earlier are ABSENT from the output
+    * (the keeper filter runs before the per-doc reassembly, so a doc with no
+    * surviving paragraph contributes no group). Callers needing per-input-doc
+    * accounting should left-join the result back to the input ids; the
+    * input-vs-output count delta is the fully-deduped-doc count. The
+    * `d_para_dedup` DuckDB oracle pins these drop semantics relationally.
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n"): DataFrame = {

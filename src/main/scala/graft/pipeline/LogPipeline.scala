@@ -34,7 +34,17 @@ import scala.collection.mutable
   *   partition layout: nb shapes the bucket-merge tree, so a layout-derived nb
   *   would make the catalog depend on partition count / cluster size and break
   *   the north_rule's routed-row-equality bar between N and 4N executors.
-  *   Ignored when mineSampleLimit bounds the exchange.
+  *   The 256 ceiling bounds the DRIVER's merge cost, not the cluster's: every
+  *   (length, bucket) partial tree is collected and folded on the driver in
+  *   canonical bucket order, so the merge tree is O(#lengths × nb) driver work
+  *   and nb=256 keeps a worst-case corpus (hundreds of lengths) at a few tens
+  *   of thousands of partial merges — beyond that the full-mine reducer ceiling
+  *   returns at #lengths × 256. That is by design, not a scale wall: at a
+  *   genuine 100×-beyond-the-clamp corpus the documented scale path is the
+  *   SAMPLED mine (`mineSampleLimit` — templates saturate after a bounded
+  *   prefix per length; the match phase covers every line either way), which
+  *   bounds the exchange to O(limit × partitions) rows and is what the bench
+  *   profile runs. Ignored when mineSampleLimit bounds the exchange.
   * @param mineRowsPerBucket auto-salt target rows per (length, bucket) reducer;
   *   sized so one reducer's group stays comfortably in executor memory.
   */

@@ -83,7 +83,19 @@ object Sampling {
     // heavy duplicates inside a hot key (e.g. coarse timestamps — every dup
     // hashes to the same bucket). The full-row hash only collides for
     // content-identical rows, which no salt can separate (round-4 ADVICE).
-    val saltCol = pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts))
+    // MapType columns (at any nesting depth) are excluded from the salt inputs:
+    // xxhash64 rejects them at analysis time, and the containment argument only
+    // needs SOME deterministic bucketing — orderCol is always orderable, hence
+    // always hashable, so the input set is never empty (round-4 ADVICE).
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCol = pmod(xxhash64(
+      df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name)).toSeq: _*),
+      lit(salts))
     val pre = Window.partitionBy(col(keyCol), saltCol)
       .orderBy(col(orderCol))
     val fin = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))

@@ -25,11 +25,16 @@ object StreamingMatch {
 
   /** Streaming source over a web_pages parquet directory (files appearing over time
     * = micro-batches; on a cluster this would be the table's snapshot stream).
+    * `maxFilesPerTrigger` bounds each micro-batch so a pre-materialized directory
+    * still exercises genuine multi-batch incremental state (None = all available
+    * files in one batch, the default file-source behavior).
     */
-  def readPages(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+  def readPages(spark: SparkSession, dir: String,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
       .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
-      .parquet(dir)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).parquet(dir)
+  }
 
   /** The streaming match plan: same explode/structure/mask/match columns as batch
     * (pure transformations stream untouched), carrying `warc_ts` for windowing.

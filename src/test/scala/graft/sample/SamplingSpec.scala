@@ -51,4 +51,15 @@ class SamplingSpec extends SparkSuite {
     // k larger than any group: identity
     assert(Sampling.keyCap(rows, "key", "doc_id", k = 1000).count() == 911)
   }
+
+  test("keyCap: frames carrying map columns still salt (round-4 ADVICE)") {
+    // xxhash64 rejects MapType at analysis time — the full-row salt must skip
+    // unhashable columns (at any nesting) instead of failing the whole frame
+    val rows = (1L to 40L).map(i => (i, "hot", Map("k" -> i)))
+      .toDF("doc_id", "key", "props")
+      .withColumn("nested", struct(col("props").as("inner")))
+    val capped = Sampling.keyCap(rows, "key", "doc_id", k = 5, salts = 4)
+    assert(capped.select("doc_id").as[Long].collect().sorted.toSeq == (1L to 5L))
+    assert(capped.columns.toSeq == Seq("doc_id", "key", "props", "nested"))
+  }
 }
