@@ -127,6 +127,16 @@ object Bench {
     val cfg = benchConfig
     val p = new LogPipeline(cfg)
     spark.catalog.clearCache()
+    // Delete the PREVIOUS rep's output OUTSIDE the timed window (round 5):
+    // `mode("overwrite")` performs that delete at write-job start, charging the
+    // cleanup of the previous experiment to this run — a fixed cost plus
+    // unlink variance that lands ~4× harder on the ~4× shorter 4N runs, i.e.
+    // straight into the pair-mean's denominator. A fresh job has no prior
+    // output to delete, so the timed window shouldn't either; overwrite mode
+    // stays on the writes for idempotence.
+    val outFs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    outFs.delete(new org.apache.hadoop.fs.Path(outDir), true)
     val t0 = System.nanoTime()
     val pages = spark.read.parquet(pagesPath)
     val (_, assignedRaw) = LogPipeline.assignAll(spark, pages, cfg)
