@@ -33,6 +33,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Pre-size and pre-touch the whole heap at JVM start (untimed): without Xms
+  // the heap grows across the first runs and with lazy commit the young gen's
+  // first touch of each fresh page takes a soft page fault INSIDE a timed
+  // window — both are one-sided noise the scaling pair estimator then has to
+  // fight. A 16 GiB pre-touch costs a few seconds once, before any warm-up.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
   // throughput-batch workload: ParallelGC beats G1's pause-target behavior here
   "-XX:+UseParallelGC",
   // GC ergonomics size the worker pool from the MACHINE's 32 CPUs at JVM start;

@@ -32,7 +32,11 @@ import scala.collection.mutable.ArrayBuffer
 object Bench {
 
   private val ConvergeTol = 0.10
-  private val MaxReps = 7
+  // MaxReps bounds pairs on a CALM window only — the wall-clock budget below is
+  // the binding bound on a noisy one. 8 lets a calm draw (~125 s/pair) collect
+  // one more median sample inside the same 900 s budget; round 4's cap of 7
+  // bound exactly at the budget and forfeited the spare calm-window minutes.
+  private val MaxReps = 8
   private val MinReps = 3
 
   /** Hard wall-clock budget for the timed scaling loop (round-3 fix: round 2's
