@@ -97,6 +97,47 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
+  /** `array_distinct(wordShingles(text, k))` as ONE tight-loop UDF (round 6):
+    * the HOF form (`transform` over `sequence` + `slice` + `concat_ws`, then
+    * `array_distinct`) is evaluated by the interpreter per lambda element and
+    * allocates a k-token slice array per shingle — the dominant cost of the
+    * shingle-producing operators (minhash staging, decontamination). Semantics
+    * replicated token-for-token: Spark `trim` strips ' ' only, Spark `split`
+    * keeps trailing empties (limit -1), n<k docs contribute the whole-line
+    * shingle, and the distinct keeps first-occurrence order (LinkedHashSet) —
+    * same element set and order as the HOF chain, null in → null out.
+    */
+  def wordShinglesDistinct(textCol: Column, k: Int): Column =
+    wordShinglesDistinctUdf(textCol, lit(k))
+
+  private val wordShinglesDistinctUdf = udf { (text: String, k: Int) =>
+    if (text == null) null
+    else {
+      var b = 0; var e = text.length
+      while (b < e && text.charAt(b) == ' ') b += 1
+      while (e > b && text.charAt(e - 1) == ' ') e -= 1
+      val toks = text.substring(b, e).split("\\s+", -1)
+      val out = new scala.collection.mutable.LinkedHashSet[String]()
+      if (toks.length < k) out.add(toks.mkString(" "))
+      else {
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i <= toks.length - k) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out.add(sb.toString)
+          i += 1
+        }
+      }
+      out.toSeq
+    }
+  }
+
   /** Base hashes: each shingle STRING is hashed exactly once. The per-function
     * MinHash values are then derived from these 8-byte longs ([[minhashSignature]]) —
     * the classic one-hash-plus-mixing trick. Hashing the variable-length string
@@ -202,7 +243,7 @@ object Dedup {
     // scale these persists are the staged signature / candidate tables a real
     // pipeline would write between stages.
     val hashed = df.select(col(idCol).as("id"),
-        array_distinct(wordShingles(col(textCol), k)).as("shingles"))
+        wordShinglesDistinct(col(textCol), k).as("shingles"))
       .withColumn("bh", shingleBaseHashes(col("shingles")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = hashed
@@ -236,7 +277,7 @@ object Dedup {
                       numHashes: Int = 64, bands: Int = 16,
                       maxBucketSize: Int = 10000): DataFrame =
     df.select(col(idCol).as("id"),
-        array_distinct(wordShingles(col(textCol), k)).as("shingles"))
+        wordShinglesDistinct(col(textCol), k).as("shingles"))
       .withColumn("bh", shingleBaseHashes(col("shingles")))
       .withColumn("sig", minhashSignature(col("bh"), numHashes))
       .select(explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
@@ -262,7 +303,7 @@ object Dedup {
       s"ngramJaccardPairs is all-pairs (O(n²)) by design and capped at maxRows=$maxRows " +
         s"rows; got $n. Use minhashDupPairs for large inputs.")
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), k)).as("sh"))
+      wordShinglesDistinct(col(textCol), k).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -394,14 +435,27 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    // Convergence via the label-sum invariant (round 6): `next` takes a min
+    // over a union that includes each node's OWN label, so labels decrease
+    // pointwise and the node set is fixed — the label sum is strictly
+    // decreasing until the fixpoint. Comparing per-round sums replaces the
+    // former join-and-compare round (a full shuffle join per iteration) with
+    // one cheap aggregate over the already-checkpointed labels. DECIMAL(38,0)
+    // accumulation keeps the sum exact for any id range (a silent BIGINT
+    // wrap could alias two different labelings).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     while (iter < maxIters && !converged) {
       val next = labels.unionByName(
           edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
             .select(col("dst").as("id"), col("component")))
         .groupBy("id").agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("component", "prev"), Seq("id"))
-        .filter(col("component") =!= col("prev")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

@@ -1,6 +1,6 @@
 package graft.eval
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Pure-DataFrame port of the reference's scoring entry point
@@ -32,23 +32,33 @@ object Evaluator {
     joined.groupBy("event_id", "gt_id").agg(count(lit(1)).as("n"))
 
   def evaluate(joined: DataFrame): Scores = {
+    // ONE action (round 6): the five scalars were four separate collect()s —
+    // four driver round-trips / job submissions over the (tiny, cached)
+    // contingency. Assembling them into a single one-row cross-join plan
+    // keeps the arithmetic expression-for-expression identical (same sums,
+    // same double division in Scala below) while paying job overhead once.
+    // This matters most for log_pa_by_style's 16 concurrent evaluations.
     val cont = contingency(joined).persist()
     try {
-      val pairs = udfFreePairs(cont)
-      val total = cont.agg(sum("n")).collect()(0).getLong(0)
-
       val gtAgg = cont.groupBy("gt_id").agg(sum("n").as("gsize"))
-      val realPairs = pairSum(gtAgg, "gsize")
       val parsedAgg = cont.groupBy("event_id")
         .agg(count_distinct(col("gt_id")).as("span"), sum("n").as("psize"),
              max("gt_id").as("gt1"))
-      val parsedPairs = pairSum(parsedAgg, "psize")
-
       // 1:1 groups: parsed group spans exactly one gt group AND has its full size.
-      val accurateEvents = parsedAgg.filter(col("span") === 1)
+      val accurate = parsedAgg.filter(col("span") === 1)
         .join(gtAgg, parsedAgg("gt1") === gtAgg("gt_id"))
         .filter(col("psize") === col("gsize"))
-        .agg(coalesce(sum("psize"), lit(0L))).collect()(0).getLong(0)
+        .agg(coalesce(sum("psize"), lit(0L)).as("accurate"))
+      val row = cont.agg(pairSumCol("n").as("pairs"), sum("n").as("total"))
+        .crossJoin(gtAgg.agg(pairSumCol("gsize").as("real_pairs")))
+        .crossJoin(parsedAgg.agg(pairSumCol("psize").as("parsed_pairs")))
+        .crossJoin(accurate)
+        .collect()(0)
+      val pairs = row.getLong(0)
+      val total = row.getLong(1)
+      val realPairs = row.getLong(2)
+      val parsedPairs = row.getLong(3)
+      val accurateEvents = row.getLong(4)
 
       val precision = if (parsedPairs == 0) 0.0 else pairs.toDouble / parsedPairs
       val recall = if (realPairs == 0) 0.0 else pairs.toDouble / realPairs
@@ -58,9 +68,6 @@ object Evaluator {
     } finally cont.unpersist()
   }
 
-  private def pairSum(df: DataFrame, sizeCol: String): Long =
-    df.agg(coalesce(sum(col(sizeCol) * (col(sizeCol) - 1) / 2), lit(0L)).cast("long"))
-      .collect()(0).getLong(0)
-
-  private def udfFreePairs(cont: DataFrame): Long = pairSum(cont, "n")
+  private def pairSumCol(sizeCol: String): Column =
+    coalesce(sum(col(sizeCol) * (col(sizeCol) - 1) / 2), lit(0L)).cast("long")
 }

@@ -12,6 +12,16 @@ final case class WebPage(url: String, warc_ts: Timestamp, html: Array[Byte],
   */
 final case class GroundTruthLine(url: String, line_no: Int, gt_tpl: Int)
 
+/** Narrow page row for consumers that only read (url, warc_ts, text) — the
+  * mine/match pipeline (explodeLines projects url+text) and the streaming source.
+  * Field-identical to [[WebPage]]'s url/warc_ts/text (same hash streams); skips
+  * building the html byte array and lang, which those paths never read. The
+  * generator is a `mapPartitions` and therefore opaque to Catalyst's column
+  * pruning, so the projection must happen at the source (round 6, guide §2.3
+  * "project before the exchange").
+  */
+final case class WebPageNarrow(url: String, warc_ts: Timestamp, text: String)
+
 /** A log style = the reference's per-dataset configuration tuple
   * (`<Algo>/benchmark.py::benchmark_settings` — log_format + rex + st/depth), plus our
   * own synthetic template pool. The format/rex values are reference configuration
@@ -164,6 +174,19 @@ object WebPagesGen {
   def pages(spark: SparkSession, n: Long): Dataset[WebPage] = {
     import spark.implicits._
     spark.range(n).as[Long].mapPartitions(_.map(pageFor))
+  }
+
+  /** Narrow variant of [[pages]] — url/warc_ts/text only, same values (see
+    * [[WebPageNarrow]]). ~2× less string building per page: the html wrapper
+    * bytes are never constructed.
+    */
+  def pagesNarrow(spark: SparkSession, n: Long): Dataset[WebPageNarrow] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions(_.map { rowId =>
+      val url = s"https://${domainFor(rowId)}/p/$rowId"
+      val text = (0 until linesPerPage(rowId)).map(lineFor(rowId, _)).mkString("\n")
+      WebPageNarrow(url, new Timestamp(BaseTs + rowId * 997L), text)
+    })
   }
 
   def groundTruth(spark: SparkSession, n: Long): Dataset[GroundTruthLine] = {

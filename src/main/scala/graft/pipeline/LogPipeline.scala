@@ -296,17 +296,26 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
     * (F6, quirk-faithful).
     */
   def matchPhase(masked: DataFrame, catalog: Broadcast[MatchCatalog]): DataFrame = {
-    val matcher = udf { (m: String) => catalog.value.matchLine(m) }
     val params = udf { (template: String, content: String) =>
       ParamExtractor.extract(template, content)
     }
+    matchCore(masked, catalog)
+      .withColumn("parameter_list", params(col("event_template"), col("Content")))
+  }
+
+  /** [[matchPhase]] minus the F6 parameter extraction — the match columns proper
+    * (template, matched_by, event_id). Split out (round 6) so narrow consumers
+    * that never read `parameter_list` or `Content` (e.g. the evaluator path) can
+    * run the match over a (url, line_no, parsed, masked) projection.
+    */
+  def matchCore(masked: DataFrame, catalog: Broadcast[MatchCatalog]): DataFrame = {
+    val matcher = udf { (m: String) => catalog.value.matchLine(m) }
     masked.filter(col("parsed"))
       .withColumn("m", matcher(col("masked")))
       .withColumn("event_template", col("m._1"))
       .withColumn("matched_by", col("m._2"))
       .drop("m")
       .withColumn("event_id", substring(md5(col("event_template")), 1, 8))
-      .withColumn("parameter_list", params(col("event_template"), col("Content")))
   }
 
   // ---- enrich --------------------------------------------------------------
@@ -393,5 +402,31 @@ object LogPipeline {
     val catalog = new MatchCatalog(drain, spell)
     val bc = spark.sparkContext.broadcast(catalog)
     (catalog, p.matchPhase(masked, bc))
+  }
+
+  /** [[assignAll]] for consumers that only read
+    * (url, line_no, event_id, event_template, matched_by) — the evaluator /
+    * template-count queries. Same mine, same match, bit-identical projected
+    * columns; but the structured intermediate is persisted NARROW
+    * (url, line_no, parsed, masked — the columns the mine and match actually
+    * consume) and the F6 parameter extraction is skipped entirely, so neither
+    * the passthrough headers nor the parameter arrays are computed or cached
+    * (round 6, guide §1.2 "don't compute things you throw away"). The mined
+    * catalog is a pure function of `masked`, which is unchanged, so the
+    * catalog — and with it every projected column — is provably identical.
+    */
+  def assignNarrow(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig)
+      : (MatchCatalog, DataFrame) = {
+    val p = new LogPipeline(cfg)
+    val maskedRaw = p.withMasked(p.structure(p.explodeLines(pages)))
+      .select("url", "line_no", "parsed", "masked")
+    val masked = if (sys.env.contains("GRAFT_NO_PERSIST")) maskedRaw
+      else maskedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drain = p.mineDrain(masked)
+    val spell = p.mineSpellResidue(masked, drain)
+    val catalog = new MatchCatalog(drain, spell)
+    val bc = spark.sparkContext.broadcast(catalog)
+    (catalog, p.matchCore(masked, bc)
+      .select("url", "line_no", "event_id", "event_template", "matched_by"))
   }
 }

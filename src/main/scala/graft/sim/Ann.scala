@@ -64,11 +64,19 @@ object Ann {
       query: Seq[T], k: Int, planes: Int = 12,
       probeHamming: Int = 2): DataFrame = {
     val q = typedlit(query)
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
-    val qBucket = hyperplaneSignature(q, dim, planes)
-    bucketed
-      .filter(bit_count(col("bucket").bitwiseXOR(qBucket)) <= probeHamming)
+    // probeHamming >= planes accepts EVERY bucket (hamming over `planes` bits is
+    // at most `planes`), so the signature + filter are the identity — skip
+    // computing them (round 6): the per-row signature was planes × dim
+    // interpreted-lambda xxhash64 evaluations feeding an always-true predicate.
+    val candidates =
+      if (probeHamming >= planes) df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      else {
+        val qBucket = hyperplaneSignature(q, dim, planes)
+        df.select(col(idCol).as("id"), col(vecCol).as("v"),
+            hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
+          .filter(bit_count(col("bucket").bitwiseXOR(qBucket)) <= probeHamming)
+      }
+    candidates
       .select(col("id"), cosine(col("v"), q).as("score"))
       .orderBy(desc("score"), col("id"))
       .limit(k)
@@ -180,17 +188,31 @@ object Ann {
                probeHamming: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = if (planes > 0) planes else autoPlanes(right.count())
-    val l = left.select(col(idL).as("id_l"), col(vecCol).as("v_l"),
-      hyperplaneSignature(col(vecCol), dim, p).as("bucket_l"))
-    val r = right.select(col(idR).as("id_r"), col(vecCol).as("v_r"),
-      hyperplaneSignature(col(vecCol), dim, p).as("bucket_r"))
+    // Per-ROW norms are hoisted out of the pair loop (round 6): `cosine` per
+    // pair re-evaluated norm(v_l) and norm(v_r) — two interpreted dim-element
+    // folds — once per CANDIDATE PAIR. norm(v) is a pure per-row function, so
+    // computing it once per side and scoring dot/(max(nl·nr, ε)) is the same
+    // IEEE expression tree per pair (identical fold order, identical doubles),
+    // with per-pair work cut to one fold. probeHamming >= p accepts every
+    // bucket pair, so the signatures feed an always-true predicate — skipped.
+    val exhaustive = probeHamming >= p
+    val bl = if (exhaustive) Seq.empty[org.apache.spark.sql.Column]
+      else Seq(hyperplaneSignature(col(vecCol), dim, p).as("bucket_l"))
+    val br = if (exhaustive) Seq.empty[org.apache.spark.sql.Column]
+      else Seq(hyperplaneSignature(col(vecCol), dim, p).as("bucket_r"))
+    val l = left.select(Seq(col(idL).as("id_l"), col(vecCol).as("v_l"),
+      norm(col(vecCol)).as("n_l")) ++ bl: _*)
+    val r = right.select(Seq(col(idR).as("id_r"), col(vecCol).as("v_r"),
+      norm(col(vecCol)).as("n_r")) ++ br: _*)
     val w = Window.partitionBy("id_l").orderBy(desc("score"), col("id_r"))
     val joined =
-      if (probeHamming <= 0) l.join(r, col("bucket_l") === col("bucket_r"))
+      if (exhaustive) l.crossJoin(r)
+      else if (probeHamming <= 0) l.join(r, col("bucket_l") === col("bucket_r"))
       else l.join(r,
         bit_count(col("bucket_l").bitwiseXOR(col("bucket_r"))) <= probeHamming)
     joined
-      .withColumn("score", cosine(col("v_l"), col("v_r")))
+      .withColumn("score",
+        dot(col("v_l"), col("v_r")) / greatest(col("n_l") * col("n_r"), lit(1e-12d)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("id_l", "id_r", "score", "rank")

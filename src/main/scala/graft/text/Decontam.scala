@@ -28,9 +28,9 @@ object Decontam {
   def ngramOverlap(train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int, minOverlap: Int): DataFrame = {
     val trainSh = train.select(col(idCol).as("train_id"),
-      explode(array_distinct(Dedup.wordShingles(col(textCol), n))).as("sh"))
+      explode(Dedup.wordShinglesDistinct(col(textCol), n)).as("sh"))
     val benchSh = bench
-      .select(explode(array_distinct(Dedup.wordShingles(col(textCol), n))).as("sh"))
+      .select(explode(Dedup.wordShinglesDistinct(col(textCol), n)).as("sh"))
       .distinct()
     trainSh.join(broadcast(benchSh), Seq("sh"))
       .groupBy("train_id")
