@@ -24,6 +24,7 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+
   /** Deterministic synthetic URL from `documents` columns (no url column exists in
     * the testdata) — shared by the URL-curation queries and replayed verbatim by
     * their DuckDB oracles. Collapses onto three registered domains so the per-
@@ -101,9 +102,13 @@ object SparkEntry {
       // reads; readPages' declared schema fills html/lang with nulls) and on
       // tmpfs: the html bytes were ~half the generated/written volume for a
       // column the stream never touches (round 6, guide §6)
+      // 64 files (was 12): the file source spawns roughly one task per small
+      // file, so a 6-file trigger ran each micro-batch 6-wide on a 32-core
+      // session — per-batch parallelism now matches the cluster width while
+      // the batch COUNT (2) is unchanged (maxFilesPerTrigger scales with it)
       val out = tmpDir("graft_stream_src")
       WebPagesGen.pagesNarrow(s, WebPagesGen.pagesForSfDir(dir)).toDF()
-        .repartition(12).write.mode("overwrite").parquet(out)
+        .repartition(64).write.mode("overwrite").parquet(out)
       out
     })
 
@@ -167,7 +172,7 @@ object SparkEntry {
       val bc = s.sparkContext.broadcast(cat)
       val matched = graft.streaming.StreamingMatch.matchedStream(
         graft.streaming.StreamingMatch.readPages(s, streamSrcFor(s, dir),
-          maxFilesPerTrigger = Some(6)),
+          maxFilesPerTrigger = Some(32)),
         PipelineConfig.hdfs, bc)
       val counts = matched.groupBy("event_id", "event_template")
         .agg(count(lit(1)).as("occurrences"))
@@ -781,10 +786,13 @@ object SparkEntry {
     "td_pipeline" -> ((s, dir) => {
       // the training-data pipeline composed end-to-end: quality gate → exact dedup
       // → per-language doc/token budget (all stages individually oracled)
+      // scored checkpointed (round 6): exactDedup consumes it on BOTH join
+      // sides, re-running the quality + langId interpreted-HOF chain twice
       val scored = t(s, dir, "documents")
         .withColumn("q", TextOps.qualityScoreMilli(col("text")))
         .withColumn("pred_lang", TextOps.langId(col("text")))
         .filter(col("q") >= 30000)
+        .localCheckpoint(true)
       Dedup.exactDedup(scored, "doc_id", "text")
         .groupBy("pred_lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -795,11 +803,18 @@ object SparkEntry {
       // the whole curation pipeline, every stage oracled: quality gate → exact
       // dedup → LSH near-dup pairs → connected-components keep-min → per-language
       // token budget → corpus stats. The DuckDB oracle replays all six stages.
+      // scored/exact are EAGERLY checkpointed (round 6): `exact` feeds the
+      // minhash staging, the loser anti-join AND the budget branch, and each
+      // branch re-ran the quality + langId interpreted-HOF chain over the
+      // corpus (~4 recomputes measured). Same staged-materialization contract
+      // as minhashDupPairs; blocks are ContextCleaner-collected when the
+      // result frame is dropped.
       val scored = t(s, dir, "documents")
         .withColumn("q", TextOps.qualityScoreMilli(col("text")))
         .withColumn("pred_lang", TextOps.langId(col("text")))
         .filter(col("q") >= 30000)
-      val exact = Dedup.exactDedup(scored, "doc_id", "text")
+        .localCheckpoint(true)
+      val exact = Dedup.exactDedup(scored, "doc_id", "text").localCheckpoint(true)
       val pairs = Dedup.minhashDupPairs(exact, "doc_id", "text",
         k = 3, numHashes = 64, bands = 16, threshold = 0.9)
       val losers = Dedup.connectedComponents(pairs)

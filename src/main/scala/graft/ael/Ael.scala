@@ -41,6 +41,43 @@ object Ael {
         .when(t.rlike("[0-9]"), lit(Wildcard))
         .otherwise(t))
 
+  /** trim+split+[[anonymizeTokens]] fused into one compiled-pattern UDF pass
+    * (round 6): the HOF form evaluates two interpreted regex predicates per
+    * token of every raw line — the miner's dominant per-row cost. Rule-for-rule
+    * identical: Spark `trim` strips ' ' only, Spark `split` keeps trailing
+    * empties (limit -1); `key=value` → `key=<*>` (the replace pattern `=.*$`
+    * consumes from the FIRST '=' to end-of-token, exactly like
+    * `regexp_replace`), else any digit-bearing token → `<*>`, else unchanged.
+    */
+  private val KeyValue = java.util.regex.Pattern.compile("^\\w+=\\S+$")
+  private[ael] val anonymizeLine = udf { (line: String) =>
+    if (line == null) null
+    else {
+      var b = 0; var e = line.length
+      while (b < e && line.charAt(b) == ' ') b += 1
+      while (e > b && line.charAt(e - 1) == ' ') e -= 1
+      val toks = line.substring(b, e).split("\\s+", -1)
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        if (KeyValue.matcher(t).matches()) {
+          toks(i) = t.substring(0, t.indexOf('=')) + "=<*>"
+        } else {
+          var j = 0
+          var digit = false
+          while (j < t.length && !digit) {
+            val c = t.charAt(j)
+            if (c >= '0' && c <= '9') digit = true
+            j += 1
+          }
+          if (digit) toks(i) = Wildcard
+        }
+        i += 1
+      }
+      toks.toSeq
+    }
+  }
+
   /** One leftmost-hole reconcile round over a `(pieces, occurrences)` template
     * table; bins (len, nwild) are recomputed from the pieces so merged templates
     * re-bin correctly between rounds.
@@ -88,9 +125,9 @@ object Ael {
   /** Mine the reconciled catalog: (event_template, occurrences). */
   def mineTemplates(lines: DataFrame, lineCol: String,
                     maxReconcile: Int = 20): DataFrame = {
-    // stages 1–3: anonymize per token, bin, categorize
+    // stages 1–3: anonymize per token (fused UDF pass), bin, categorize
     var cat = lines
-      .select(anonymizeTokens(split(trim(col(lineCol)), "\\s+")).as("pieces"))
+      .select(anonymizeLine(col(lineCol)).as("pieces"))
       .groupBy(col("pieces"))
       .agg(count(lit(1)).as("occurrences"))
       .localCheckpoint(true)

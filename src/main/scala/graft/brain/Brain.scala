@@ -40,16 +40,22 @@ object Brain {
   /** Mine the template catalog: (event_template, occurrences). */
   def mineTemplates(lines: DataFrame, lineCol: String): DataFrame = {
     // persisted: feeds the frequency table, the modal/LCP joins AND the final
-    // assembly — one corpus scan+dedup instead of three
+    // assembly — one corpus scan+dedup instead of three.
+    // The per-line joins below key on pid = xxhash64(line), not the line
+    // STRING (round 6): the modal/LCP stages shuffle one row per (line,
+    // position), each formerly carrying the full raw line as its key — 8-byte
+    // keys shuffle and compare for a fraction of that (guide §2.3 "narrower
+    // types"). Collision contract as LogMine's pattern lid: ~n²/2⁶⁴.
     val base = lines
       .select(trim(col(lineCol)).as("line"))
       .filter(col("line") =!= "")
       .groupBy("line").agg(count(lit(1)).as("cnt"))
+      .withColumn("pid", xxhash64(col("line")))
       .withColumn("toks", split(col("line"), "\\s+"))
       .withColumn("len", size(col("toks")))
       .persist()
 
-    val pe = base.select(col("line"), col("cnt"), col("len"),
+    val pe = base.select(col("pid"), col("cnt"), col("len"),
       posexplode(col("toks")).as(Seq("pos", "tok")))
     // frequency of each (len, pos, word), weighted by line multiplicity
     val freq = pe.groupBy("len", "pos", "tok").agg(sum(col("cnt")).as("f"))
@@ -57,17 +63,17 @@ object Brain {
 
     // modal frequency per line: the f value carried by the most positions;
     // ties resolve to the larger f
-    val modal = m.groupBy("line", "f").agg(count(lit(1)).as("npos"))
-      .groupBy("line")
+    val modal = m.groupBy("pid", "f").agg(count(lit(1)).as("npos"))
+      .groupBy("pid")
       .agg(max_by(col("f"), struct(col("npos"), col("f"))).as("modal_f"))
 
     // LCP key: the ordered (pos:word) set at the modal frequency
-    val lcp = m.join(modal, Seq("line"))
+    val lcp = m.join(modal, Seq("pid"))
       .filter(col("f") === col("modal_f"))
-      .groupBy("line")
+      .groupBy("pid")
       .agg(concat_ws(",", array_sort(collect_list(
         concat(col("pos").cast("string"), lit(":"), col("tok"))))).as("lcp"))
-    val withCluster = base.join(lcp, Seq("line"))
+    val withCluster = base.join(lcp, Seq("pid"))
       .withColumn("ckey", concat(col("len").cast("string"), lit("|"), col("lcp")))
 
     // eager checkpoint of the tiny catalog, then release the staged cache

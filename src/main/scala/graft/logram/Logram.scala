@@ -43,11 +43,17 @@ object Logram {
   /** Mine the template catalog: (event_template, occurrences). */
   def mineTemplates(lines: DataFrame, lineCol: String, support: Long): DataFrame = {
     // persisted: feeds the dictionary build, the vote join AND the token
-    // explode — one corpus scan+dedup instead of three
+    // explode — one corpus scan+dedup instead of three.
+    // Joins below key on pid = xxhash64(line), not the line STRING (round 6):
+    // the vote/judge joins each shuffled ~4 rows per line keyed by the full
+    // raw line — 8-byte keys shuffle and compare for a fraction of that
+    // (guide §2.3 "narrower types"). Collision contract is the same as
+    // LogMine's pattern lid: ~n²/2⁶⁴, negligible at mine-phase inputs.
     val base = lines
       .select(trim(col(lineCol)).as("line"))
       .filter(col("line") =!= "")
       .groupBy("line").agg(count(lit(1)).as("cnt"))
+      .withColumn("pid", xxhash64(col("line")))
       .withColumn("toks", split(col("line"), "\\s+"))
       .persist()
     // boundary-extended bigrams: ext = BOS +: toks :+ EOS; bigram k =
@@ -58,7 +64,7 @@ object Logram {
       zip_with(slice(ext, lit(1), size(ext) - 1), slice(ext, lit(2), size(ext) - 1),
         (a, b) => concat(a, lit(" "), b)))
 
-    val bg = withBg.select(col("line"), col("cnt"),
+    val bg = withBg.select(col("pid"), col("cnt"),
       posexplode(col("bgs")).as(Seq("bpos", "bg")))
     // the n-gram dictionary: one weighted, map-side-combinable count
     val dict = bg.groupBy("bg").agg(sum(col("cnt")).as("f"))
@@ -66,19 +72,19 @@ object Logram {
     // token j's covering bigrams are bpos j and j+1 → each bigram row votes
     // for tokens bpos−1 and bpos; keep the max covering frequency per token
     val votes = bg.join(dict, Seq("bg"))
-      .select(col("line"), explode(array(col("bpos") - 1, col("bpos"))).as("pos"),
+      .select(col("pid"), explode(array(col("bpos") - 1, col("bpos"))).as("pos"),
         col("f"))
       .filter(col("pos") >= 0)
-    val toks = base.select(col("line"), col("cnt"),
+    val toks = base.select(col("pid"), col("cnt"),
       posexplode(col("toks")).as(Seq("pos", "tok")))
-    val judged = toks.join(votes, Seq("line", "pos"))
-      .groupBy("line", "cnt", "pos", "tok")
+    val judged = toks.join(votes, Seq("pid", "pos"))
+      .groupBy("pid", "cnt", "pos", "tok")
       .agg(max(col("f")).as("fmax"))
       .withColumn("piece",
         when(col("fmax") >= support, col("tok")).otherwise(lit("<*>")))
 
     // eager checkpoint of the tiny catalog, then release the staged cache
-    val out = judged.groupBy("line", "cnt")
+    val out = judged.groupBy("pid", "cnt")
       .agg(concat_ws(" ", array_sort(collect_list(struct(col("pos"), col("piece"))))
         .getField("piece")).as("event_template"))
       .groupBy("event_template")

@@ -34,17 +34,17 @@ import scala.collection.mutable
   *   partition layout: nb shapes the bucket-merge tree, so a layout-derived nb
   *   would make the catalog depend on partition count / cluster size and break
   *   the north_rule's routed-row-equality bar between N and 4N executors.
-  *   The 256 ceiling bounds the DRIVER's merge cost, not the cluster's: every
-  *   (length, bucket) partial tree is collected and folded on the driver in
-  *   canonical bucket order, so the merge tree is O(#lengths × nb) driver work
-  *   and nb=256 keeps a worst-case corpus (hundreds of lengths) at a few tens
-  *   of thousands of partial merges — beyond that the full-mine reducer ceiling
-  *   returns at #lengths × 256. That is by design, not a scale wall: at a
-  *   genuine 100×-beyond-the-clamp corpus the documented scale path is the
-  *   SAMPLED mine (`mineSampleLimit` — templates saturate after a bounded
-  *   prefix per length; the match phase covers every line either way), which
-  *   bounds the exchange to O(limit × partitions) rows and is what the bench
-  *   profile runs. Ignored when mineSampleLimit bounds the exchange.
+  *   The 256 ceiling bounds the per-length merge-tree FAN-IN, not driver cost
+  *   (round 6): the bucket partials of each length are folded DISTRIBUTED —
+  *   one shuffle keyed by `len`, the owning executor merges its ≤ nb trees in
+  *   ascending-bucket order — and the driver receives ONE tree per length, so
+  *   driver work is O(#lengths) at any nb. Beyond the clamp the full-mine
+  *   reducer ceiling returns at #lengths × 256; that is by design, not a scale
+  *   wall: at a genuine 100×-beyond-the-clamp corpus the documented scale path
+  *   is the SAMPLED mine (`mineSampleLimit` — templates saturate after a
+  *   bounded prefix per length; the match phase covers every line either way),
+  *   which bounds the exchange to O(limit × partitions) rows and is what the
+  *   bench profile runs. Ignored when mineSampleLimit bounds the exchange.
   * @param mineRowsPerBucket auto-salt target rows per (length, bucket) reducer;
   *   sized so one reducer's group stays comfortably in executor memory.
   */
@@ -100,8 +100,9 @@ final class MatchCatalog(val drain: DrainTree, val spell: SpellModel) extends Se
   *    sequential result: we `repartition($"len", $"bucket")` (bucket = hash(url)
   *    % nb with nb auto-derived from the corpus size — lifts the
   *    #distinct-lengths reducer ceiling and keeps lifting it as the corpus
-  *    grows, round 4) + `sortWithinPartitions` + `mapPartitions`, then merge the
-  *    per-(length, bucket) trees canonically on the driver (bit-exact sequential
+  *    grows, round 4) + `sortWithinPartitions` + `mapPartitions`, then fold the
+  *    per-(length, bucket) trees canonically — DISTRIBUTED per length since
+  *    round 6 (the driver receives one tree per length; bit-exact sequential
   *    per length at mineSaltBuckets = 1). The catalog is invariant to partition
   *    count — the keystone of the routed-row-equality parity bar.
   *
@@ -161,10 +162,16 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
     val spark = masked.sparkSession
     import spark.implicits._
     val cfgL = cfg
+    // token-count key via a scalar UDF, NOT a Dataset.map (round 6): the map
+    // form deserialized every (url, line_no, masked) row into a Scala tuple and
+    // re-encoded it — breaking whole-stage codegen for the entire pre-exchange
+    // stage — where the UDF converts only the one string it reads and leaves
+    // the row in Tungsten form for the shuffle write. Same tokenizer, same key.
+    val tokLen = udf { (m: String) => RexCompiler.tokenize(m).length }
     val keyed = masked.filter(col("parsed"))
-      .select(col("url"), col("line_no"), col("masked"))
-      .as[(String, Int, String)]
-      .map { case (url, no, m) => (RexCompiler.tokenize(m).length, url, no, m) }
+      .select(tokLen(col("masked")).as("len"), col("url"), col("line_no"),
+        col("masked"))
+      .as[(Int, String, Int, String)]
     // mineSampleLimit is enforced BEFORE the exchange: each map partition keeps only
     // its `limit` canonically-smallest (url, line_no) rows per length group, so the
     // shuffle moves O(limit × partitions) rows instead of the full corpus. The global
@@ -214,7 +221,7 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
       }
     val bucketCol =
       if (nb == 1) lit(0) else pmod(xxhash64(col("url")), lit(nb)).cast("int")
-    val partials: Array[((Int, Int), Array[Byte])] = bounded
+    val bucketTrees = bounded
       .toDF("len", "url", "line_no", "masked")
       .withColumn("bucket", bucketCol)
       .repartition(col("len"), col("bucket"))
@@ -231,14 +238,33 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
             mined(len) = n + 1
           }
         }
-        trees.iterator.map { case (key, tree) => (key, serialize(tree)) }
-      }.collect()
+        trees.iterator.map { case ((len, bucket), tree) => (len, bucket, serialize(tree)) }
+      }
+    // Per-length bucket-tree reduction. nb == 1 (the sampled mine and every
+    // small corpus) has exactly ONE partial per length — nothing to fold, the
+    // trees are collected directly. nb > 1 folds DISTRIBUTED (round 6, VERDICT
+    // r5 #2): one extra shuffle keyed by `len` groups each length's ≤ nb bucket
+    // trees on an executor, which merges them in ascending-bucket order —
+    // byte-identical to the former driver-side fold (same `canonicalMerge`
+    // reduceLeft over the same sorted sequence) — and the driver receives ONE
+    // tree per length instead of #lengths × nb partials. That removes the last
+    // data-dependent driver-side merge structure: driver work is now O(#lengths)
+    // regardless of nb, and the nb=256 clamp bounds the per-length merge-tree
+    // FAN-IN an executor folds (≤ 256 partials), not driver cost.
+    val lenTrees: Array[(Int, Array[Byte])] =
+      if (nb == 1) bucketTrees.map { case (len, _, bytes) => (len, bytes) }.collect()
+      else bucketTrees
+        .groupByKey(_._1)
+        .mapGroups { (len, it) =>
+          val folded = it.toSeq.sortBy(_._2)
+            .map(g => deserialize[DrainTree](g._3))
+            .reduceLeft((a, b) => a.canonicalMerge(b))
+          (len, serialize(folded))
+        }.collect()
 
     val merged = new DrainTree(cfg.depth, cfg.st, cfg.maxChild)
-    partials.groupBy(_._1._1).toSeq.sortBy(_._1).foreach { case (len, group) =>
-      val t = group.sortBy(_._1._2)
-        .map(g => deserialize[DrainTree](g._2))
-        .reduceLeft((a, b) => a.canonicalMerge(b))
+    lenTrees.sortBy(_._1).foreach { case (len, bytes) =>
+      val t = deserialize[DrainTree](bytes)
       t.lengthLayer.get(len).foreach(node => merged.lengthLayer(len) = node)
       merged.clusterList ++= t.clusterList
     }
@@ -268,11 +294,14 @@ class LogPipeline(val cfg: PipelineConfig) extends Serializable {
     val bc = spark.sparkContext.broadcast(drain)
     val tauL = cfg.tau
     val limitL = cfg.spellMineLimit
+    // residue predicate as a scalar UDF, NOT a typed Dataset.filter (round 6):
+    // the typed filter deserialized every 3-column row into a tuple just to
+    // read `masked`; the UDF converts only that string and keeps the full-corpus
+    // residue scan inside whole-stage codegen. Same tree search, same residue.
+    val isResidue = udf { (m: String) => bc.value.search(RexCompiler.tokenize(m)) == null }
     val partials: Array[(Int, Array[Byte])] = masked.filter(col("parsed"))
       .select(col("url"), col("line_no"), col("masked"))
-      .as[(String, Int, String)]
-      .filter { r => bc.value.search(RexCompiler.tokenize(r._3)) == null }
-      .toDF("url", "line_no", "masked")
+      .filter(isResidue(col("masked")))
       .repartition(col("url")) // hash, not range: range sampling would re-run the residue filter scan
       .sortWithinPartitions("url", "line_no")
       .as[(String, Int, String)]

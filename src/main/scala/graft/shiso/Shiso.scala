@@ -49,10 +49,17 @@ object Shiso {
 
   /** Mine the template catalog: (event_template, occurrences). */
   def mineTemplates(lines: DataFrame, lineCol: String): DataFrame = {
+    // fan the distinct-pattern set back out to cluster width (round 6): AQE
+    // coalesces the level-0 dedup's reduce side to ONE partition by byte size,
+    // but the class-signature transform below is CPU-bound per pattern — a
+    // single task serialized the whole mine (measured ~1 s single-threaded on
+    // a 32-core session). Width follows the cluster, not a local constant;
+    // the downstream is a pure groupBy, partition-count invariant.
     val patterns = lines
       .select(trim(col(lineCol)).as("p"))
       .filter(col("p") =!= "")
       .groupBy("p").agg(count(lit(1)).as("cnt"))
+      .repartition(lines.sparkSession.sparkContext.defaultParallelism)
       .withColumn("toks", split(col("p"), "\\s+"))
 
     val keyed = patterns.withColumn("ckey",

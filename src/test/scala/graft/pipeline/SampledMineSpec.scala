@@ -122,6 +122,35 @@ class SampledMineSpec extends SparkSuite {
     assert(tree5.catalog() == saltedTree.catalog())
   }
 
+  test("distributed per-length fold (nb > 1) is layout-invariant on a " +
+      "multi-length corpus") {
+    // round 6: the > 1-bucket fold moved from the driver to a per-length
+    // executor reduction (one extra shuffle keyed by len); the fold order
+    // (ascending bucket, then ascending length) is unchanged, so the catalog
+    // must stay a pure function of (corpus, nb) — invariant to the input
+    // layout and the shuffle partition count — here with SEVERAL concurrent
+    // length groups, which the salting test above (single hot length) doesn't
+    // cover. (nb > 1 vs nb = 1 catalog equality is NOT a general invariant —
+    // online Drain is order-dependent and bucketing changes insertion order;
+    // the salting test pins it only on its clean-merge corpus.)
+    import spark.implicits._
+    def masked = (0 until 3000).map { i =>
+      val line =
+        if (i % 3 == 0) s"evt user$i done"
+        else s"evt user$i code${i % 7} done extra${i % 5}"
+      (s"https://h$i.example.com/p", 0, line)
+    }.toDF("url", "line_no", "masked").withColumn("parsed", lit(true))
+    val cfgAuto = PipelineConfig.hdfs.copy(mineRowsPerBucket = 300) // derives nb = 10
+    val t1 = new LogPipeline(cfgAuto).mineDrain(masked)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val t2 = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      new LogPipeline(cfgAuto).mineDrain(masked.repartition(3))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(t1.catalog() == t2.catalog())
+    assert(t1.catalog().nonEmpty)
+  }
+
   test("sampled mine is deterministic across partitionings") {
     val cfg = PipelineConfig.hdfs.copy(mineSampleLimit = Some(20))
     val pages = WebPagesGen.pages(spark, 150L).toDF()
