@@ -38,7 +38,16 @@ object Evaluator {
     // keeps the arithmetic expression-for-expression identical (same sums,
     // same double division in Scala below) while paying job overhead once.
     // This matters most for log_pa_by_style's 16 concurrent evaluations.
-    val cont = contingency(joined).persist()
+    // coalesce(1) before caching (round 6): the contingency is O(#parsed
+    // groups × #gt groups) — template-universe sized (tens to thousands of
+    // rows), never corpus-sized — but it inherited the session's shuffle
+    // partitioning, so every downstream aggregate launched one task per
+    // shuffle partition over a ~100-row cache. Under log_pa_by_style's 16
+    // concurrent evaluations those empty tasks were the dominant cost
+    // (measured ~0.7 s wall per 32-task stage at 0 ms task time — pure
+    // scheduling). One partition ⇒ one task per downstream stage; the
+    // map-side combine upstream still runs at full width.
+    val cont = contingency(joined).coalesce(1).persist()
     try {
       val gtAgg = cont.groupBy("gt_id").agg(sum("n").as("gsize"))
       val parsedAgg = cont.groupBy("event_id")
