@@ -147,7 +147,16 @@ object ResumableRunner {
         // (same-tag replace), so "chunk committed ⇒ lineage+metrics present" holds
         // through every crash window. Round 1 committed routed first: a crash in
         // between marked the chunk done with its lineage/metrics lost forever.
-        val salted = enriched.repartitionByRange(col("event_id"), p.saltCol)
+        // numPartitions pinned to the session conf (round 6): without it AQE
+        // coalesces this exchange by BYTES — for a small chunk that is one
+        // task sequentially opening ~#templates parquet dirs (file-open
+        // latency, not byte throughput, measured ~0.5 s/chunk single-task).
+        // The pinned value is the same conf the implicit form started from,
+        // so cluster-scale behavior is unchanged; range partitioning still
+        // gives each writer a contiguous (event_id, salt) slice.
+        val salted = enriched.repartitionByRange(
+            spark.sessionState.conf.numShufflePartitions,
+            col("event_id"), p.saltCol)
           .drop("masked", "parsed")
         val staged = ParquetManifestTable.stageTagged(salted, routed, s"c$c",
           partitionBy = Seq("event_id"))
