@@ -61,25 +61,32 @@ object Brain {
     val freq = pe.groupBy("len", "pos", "tok").agg(sum(col("cnt")).as("f"))
     val m = pe.join(freq, Seq("len", "pos", "tok"))
 
-    // modal frequency per line: the f value carried by the most positions;
-    // ties resolve to the larger f
-    val modal = m.groupBy("pid", "f").agg(count(lit(1)).as("npos"))
-      .groupBy("pid")
-      .agg(max_by(col("f"), struct(col("npos"), col("f"))).as("modal_f"))
-
-    // LCP key: the ordered (pos:word) set at the modal frequency
-    val lcp = m.join(modal, Seq("pid"))
-      .filter(col("f") === col("modal_f"))
-      .groupBy("pid")
-      .agg(concat_ws(",", array_sort(collect_list(
-        concat(col("pos").cast("string"), lit(":"), col("tok"))))).as("lcp"))
-    val withCluster = base.join(lcp, Seq("pid"))
-      .withColumn("ckey", concat(col("len").cast("string"), lit("|"), col("lcp")))
+    // Modal frequency + LCP key per line in ONE gather + UDF pass (round 6):
+    // both are pure functions of the line's own (pos, tok, f) vector, so the
+    // former two modal aggregations, the LCP join + aggregation and the
+    // join-back to `base` (four per-token exchanges) collapse into one
+    // groupBy(pid). Rule-for-rule identical: modal f = the value carried by
+    // the most positions, ties to the LARGER f; LCP = the
+    // LEXICOGRAPHICALLY sorted "pos:tok" strings at the modal f, joined by
+    // ','; ckey = "len|lcp".
+    val ckeyU = udf { (len: Int, toks: Seq[String], fs: Seq[Long]) =>
+      val counts = new scala.collection.mutable.HashMap[Long, Int]()
+      fs.foreach(f => counts.update(f, counts.getOrElse(f, 0) + 1))
+      val modal = counts.maxBy { case (f, n) => (n, f) }._1
+      val lcp = fs.indices.collect { case i if fs(i) == modal => s"$i:${toks(i)}" }
+        .sorted.mkString(",")
+      s"$len|$lcp"
+    }
+    val withCluster = m.groupBy("pid")
+      .agg(first(col("cnt")).as("cnt"), first(col("len")).as("len"),
+        array_sort(collect_list(struct(col("pos"), col("tok"), col("f")))).as("arr"))
+      .withColumn("ckey", ckeyU(col("len"),
+        col("arr.tok"), col("arr.f")))
 
     // eager checkpoint of the tiny catalog, then release the staged cache
     val out = graft.miner.MinerOutput.agreementTemplates(
       withCluster.select(col("ckey"), col("cnt").as("w"),
-        posexplode(col("toks")).as(Seq("pos", "tok"))))
+        posexplode(col("arr.tok")).as(Seq("pos", "tok"))))
       .localCheckpoint(true)
     base.unpersist()
     out

@@ -1,7 +1,6 @@
 package graft.logcluster
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LogCluster-style pattern miner (Vaarandi & Pihelgas, "LogCluster — A Data
@@ -29,57 +28,78 @@ import org.apache.spark.sql.functions._
   */
 object LogCluster {
 
-  /** Mine: (event_template, occurrences) with occurrences ≥ support. */
+  /** Mine: (event_template, occurrences) with occurrences ≥ support.
+    *
+    * Round-6 shape: everything per-line is a PURE FUNCTION of the line text
+    * (cluster key = ordered frequent words; gap lengths per slot), and
+    * duplicate lines only scale the counts — so the mine runs over DISTINCT
+    * lines with multiplicities and computes each line's (key, gaps) in ONE
+    * UDF pass over its own tokens. The previous formulation exploded every
+    * token of every duplicate into a per-line window plus three more
+    * lid-keyed exchanges (slot assignment, per-line key, per-slot gap
+    * counts) — four shuffles of per-token rows carrying information that
+    * never left its line. Word support, cluster membership and gap bounds
+    * are unchanged: support(word) = Σ multiplicities of distinct lines
+    * containing it (≡ the paper's count-once-per-line rule), occurrences =
+    * Σ member multiplicities, and min/max gap bounds are invariant to
+    * duplicate members. The frequent-word dictionary is driver-collected and
+    * broadcast — bounded by Σlines/support, the same bound that let the old
+    * per-token join broadcast it.
+    */
   def mineTemplates(lines: DataFrame, lineCol: String, support: Long): DataFrame = {
-    // Empty tokens (only possible from all-blank lines: split of a trimmed line
-    // on \s+ can't otherwise yield "") are dropped up front — a frequent ""
-    // would collapse ambiguously in the space-joined cluster key and diverge
-    // from the SQL oracle's grouping (round-3 ADVICE fix). Blank lines thus
-    // contribute no tokens and fall out of clustering entirely.
-    val pe = graft.miner.MinerOutput.explodedTokens(lines, lineCol)
-      .filter(col("tok") =!= "")
+    val spark = lines.sparkSession
+    // Blank lines trim to "" and are dropped up front (their split yields the
+    // empty token, whose frequency would collapse ambiguously in the
+    // space-joined cluster key — round-3 ADVICE fix); non-blank trimmed lines
+    // cannot produce "" tokens.
+    val dl = lines
+      .select(trim(col(lineCol)).as("line"))
+      .filter(col("line") =!= "")
+      .groupBy("line").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks", split(col("line"), "\\s+"))
+      .persist()
 
-    // support = lines containing the word (distinct lid), the paper's definition
-    val freq = pe.groupBy("tok")
-      .agg(count_distinct(col("lid")).as("wf"))
+    // support = lines containing the word, counted once per line
+    val freqWords = dl
+      .select(col("cnt"), explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy("tok").agg(sum(col("cnt")).as("wf"))
       .filter(col("wf") >= support)
-      .select(col("tok"), lit(true).as("is_freq"))
+      .select("tok").collect().map(_.getString(0)).toSet
+    val bcFreq = spark.sparkContext.broadcast(freqWords)
 
-    // slot of a token = number of frequent words at positions <= pos (so an
-    // infrequent token between frequent words k and k+1 lands in slot k; tokens
-    // before the first frequent word land in slot 0).
-    // localCheckpoint is an OPTIMIZATION here (since round 3 lid is a stable
-    // content-derived key — MinerOutput.explodedTokens — so re-evaluation across
-    // branches is safe): `marked` feeds THREE branches (keys, gapCounts, slots)
-    // and materializing one evaluation avoids recomputing the parse + window
-    // three times.
-    val w = Window.partitionBy("lid").orderBy("pos")
-    val marked = pe.join(broadcast(freq), Seq("tok"), "left")
-      .withColumn("fseq", sum(when(col("is_freq").isNotNull, 1L).otherwise(0L)).over(w))
-      .withColumn("slot", when(col("is_freq").isNotNull, col("fseq") - 1).otherwise(col("fseq")))
-      .localCheckpoint(true)
+    // per distinct line: (ordered frequent words, gap length per slot 0..nfreq)
+    // — slot k holds the infrequent run between frequent words k-1 and k
+    // (slot 0 before the first, slot nfreq after the last), zeros included so
+    // cluster-level min() sees members that skipped nothing
+    val lineStats = udf { (toks: Seq[String]) =>
+      val fw = bcFreq.value
+      val key = new java.lang.StringBuilder()
+      val gaps = scala.collection.mutable.ArrayBuffer[Long]()
+      var cur = 0L
+      toks.foreach { t =>
+        if (fw.contains(t)) {
+          if (key.length > 0) key.append(' ')
+          key.append(t)
+          gaps += cur
+          cur = 0L
+        } else cur += 1L
+      }
+      gaps += cur
+      (key.toString, gaps.toSeq)
+    }
+    val stats = dl
+      .withColumn("st", lineStats(col("toks")))
+      .select(col("line"), col("cnt"), col("st._1").as("ckey"),
+        col("st._2").as("gaps"),
+        (size(col("st._2")) - 1).cast("long").as("nfreq"))
 
-    // per line: the cluster key (ordered frequent words) and n = |key|
-    val keys = marked
-      .groupBy("lid")
-      .agg(
-        concat_ws(" ", array_sort(collect_list(when(col("is_freq").isNotNull,
-          struct(col("pos"), col("tok"))))).getField("tok")).as("ckey"),
-        sum(when(col("is_freq").isNotNull, 1L).otherwise(0L)).as("nfreq"))
-
-    // per (line, slot): infrequent-run length, with EXPLICIT zeros for empty slots
-    // (slots 0..nfreq) so cluster-level min() sees members that skipped nothing
-    val gapCounts = marked.filter(col("is_freq").isNull)
-      .groupBy("lid", "slot").agg(count(lit(1)).as("g"))
-    val slots = keys
-      .select(col("lid"), col("ckey"), col("nfreq"),
-        explode(sequence(lit(0L), col("nfreq"))).as("slot"))
-      .join(gapCounts, Seq("lid", "slot"), "left")
-      .withColumn("g", coalesce(col("g"), lit(0L)))
-
-    // per (cluster, slot): gap bounds over members; occurrences = member count
-    val members = keys.groupBy("ckey", "nfreq").agg(count_distinct(col("lid")).as("occurrences"))
+    // per cluster: occurrences = Σ member multiplicities; gap bounds over the
+    // DISTINCT members (duplicates carry identical gap vectors)
+    val members = stats.groupBy("ckey", "nfreq")
+      .agg(sum(col("cnt")).as("occurrences"))
       .filter(col("occurrences") >= support)
+    val slots = stats.select(col("ckey"),
+      posexplode(col("gaps")).as(Seq("slot", "g")))
     val gapBounds = slots.join(members.select("ckey"), Seq("ckey"), "left_semi")
       .groupBy("ckey", "slot")
       .agg(min(col("g")).as("mn"), max(col("g")).as("mx"))
@@ -102,8 +122,13 @@ object LogCluster {
       .agg(concat_ws(" ", array_sort(collect_list(struct(col("ord"), col("piece"))))
         .getField("piece")).as("event_template"))
 
-    members.join(assembled, Seq("ckey"))
+    // eager checkpoint of the tiny catalog, then release the staged cache
+    // (same contract as minhashDupPairs — no persist leaks past return)
+    val out = members.join(assembled, Seq("ckey"))
       .select(col("event_template"), col("occurrences"))
+      .localCheckpoint(true)
+    dl.unpersist()
+    out
   }
 
   /** [[mineTemplates]] plus the engine's md5-prefix event id. */

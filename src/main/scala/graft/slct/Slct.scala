@@ -29,26 +29,48 @@ object Slct {
 
   private val Wildcard = "<*>"
 
-  /** Mine the cluster catalog: (event_template, occurrences), occurrences ≥ support. */
+  /** Mine the cluster catalog: (event_template, occurrences), occurrences ≥ support.
+    *
+    * Round-6 shape: pass 2's abstraction is a PURE FUNCTION of the line text
+    * given the frequent (position, word) set, and duplicate lines only scale
+    * counts — so both passes run over DISTINCT lines with multiplicities
+    * (each line contributes each (pos, word) exactly once, so weighting by
+    * multiplicity reproduces the per-line counts exactly) and the abstraction
+    * is one UDF pass per distinct line. The previous formulation exploded
+    * every token of every duplicate, joined the frequent set per token, and
+    * re-grouped by a synthetic line id — three per-token exchanges carrying
+    * information that never left its line. The frequent dictionary is
+    * driver-collected and broadcast — ≤ positions·n/support entries, the same
+    * bound that made the old per-token broadcast join safe.
+    */
   def mineTemplates(lines: DataFrame, lineCol: String, support: Long): DataFrame = {
-    // lid stays inside ONE lineage here (only the abstraction branch groups by
-    // it; the freq branch never touches lid), so no materialization is needed —
-    // contrast LogCluster, where lid crosses branches
-    val pe = graft.miner.MinerOutput.explodedTokens(lines, lineCol)
-    val freq = pe.groupBy("pos", "tok")
-      .agg(count(lit(1)).as("wf"))
+    val spark = lines.sparkSession
+    val dl = lines
+      .select(trim(col(lineCol)).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks", split(col("line"), "\\s+"))
+      .persist()
+    val freqSet = dl
+      .select(col("cnt"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .groupBy("pos", "tok").agg(sum(col("cnt")).as("wf"))
       .filter(col("wf") >= support)
-      .select(col("pos"), col("tok"), lit(true).as("is_freq"))
-    pe.join(broadcast(freq), Seq("pos", "tok"), "left")
-      .withColumn("piece",
-        when(col("is_freq").isNotNull, col("tok")).otherwise(lit(Wildcard)))
-      .groupBy("lid")
-      .agg(concat_ws(" ",
-        array_sort(collect_list(struct(col("pos"), col("piece"))))
-          .getField("piece")).as("event_template"))
+      .select("pos", "tok").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val bcFreq = spark.sparkContext.broadcast(freqSet)
+    val abstractLine = udf { (toks: Seq[String]) =>
+      val fw = bcFreq.value
+      toks.iterator.zipWithIndex
+        .map { case (t, i) => if (fw((i, t))) t else Wildcard }
+        .mkString(" ")
+    }
+    val out = dl
+      .select(abstractLine(col("toks")).as("event_template"), col("cnt"))
       .groupBy("event_template")
-      .agg(count(lit(1)).as("occurrences"))
+      .agg(sum(col("cnt")).as("occurrences"))
       .filter(col("occurrences") >= support)
+      .localCheckpoint(true)
+    dl.unpersist()
+    out
   }
 
   /** [[mineTemplates]] plus the engine's md5-prefix event id. */

@@ -104,10 +104,15 @@ class PlanSpec extends SparkSuite {
     assert(!iplom.contains("CartesianProduct"), iplom)
     // the per-partition split table is broadcast back onto rows, never shuffled
     assert(iplom.contains("BroadcastHashJoin"), iplom)
+    // SLCT (round 6): the frequent (pos, word) dictionary moves as a broadcast
+    // VARIABLE into the per-distinct-line abstraction UDF instead of a
+    // broadcast JOIN (same never-shuffle-the-corpus property, one mechanism
+    // down), and the returned catalog is eagerly checkpointed, so the
+    // executed plan is an ExistingRDD scan — only the no-cartesian invariant
+    // remains assertable here; exactness is pinned by SlctSpec + the oracle.
     val slct = graft.slct.Slct.mineTemplates(lines, "line", 50)
       .queryExecution.executedPlan.toString
     assert(!slct.contains("CartesianProduct"), slct)
-    assert(slct.contains("BroadcastHashJoin"), slct) // frequent-pair set is broadcast
     val ael = graft.ael.Ael.mineTemplates(lines, "line")
       .queryExecution.executedPlan.toString
     assert(!ael.contains("CartesianProduct"), ael)
