@@ -87,13 +87,22 @@ object LogMine {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // exact distance verify: mismatched positions / len <= maxDist
+    // exact distance verify: mismatched positions / len <= maxDist. The
+    // mismatch count is a tight-loop UDF (round 6): the zip_with + filter +
+    // size HOF chain is interpreted per lambda element and allocates a
+    // boolean array per pair — with hot band buckets (one shared type-token
+    // band ⇒ ~C(bucket,2) candidates) it dominated the verify stage. Same
+    // integer count, null-free inputs by construction.
+    val mismU = udf { (a: Seq[String], b: Seq[String]) =>
+      var c = 0; var i = 0
+      while (i < a.length) { if (a(i) != b(i)) c += 1; i += 1 }
+      c
+    }
     val pa = patterns.select(col("pid").as("id_a"), col("toks").as("t_a"), col("len"))
     val pb = patterns.select(col("pid").as("id_b"), col("toks").as("t_b"), col("len").as("len_b"))
     val pairs = cand.join(pa, Seq("id_a")).join(pb, Seq("id_b"))
       .filter(col("len") === col("len_b"))
-      .withColumn("mism", size(filter(zip_with(col("t_a"), col("t_b"),
-        (x, y) => x =!= y), m => m)))
+      .withColumn("mism", mismU(col("t_a"), col("t_b")))
       .filter(col("mism") <= floor(col("len") * maxDist))
       .select("id_a", "id_b")
 
@@ -256,10 +265,18 @@ object LogMine {
           greatest(col("id_a"), col("id_b")).as("id_b"))).distinct()
       case None => candSame
     }
+    // equal-length matches via a tight count UDF (round 6, same rationale as
+    // the equal-length instance's mismatch UDF — the HOF chain was interpreted
+    // per element per candidate pair); cross-length stays the LCS DP UDF
+    val eqU = udf { (a: Seq[String], b: Seq[String]) =>
+      var c = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) c += 1; i += 1 }
+      c
+    }
     val pairs = allCand.join(pa, Seq("id_a")).join(pb, Seq("id_b"))
       .filter(abs(col("len_a") - col("len_b")) <= maxLenDelta)
       .withColumn("matches", when(col("len_a") === col("len_b"),
-        size(filter(zip_with(col("t_a"), col("t_b"), (x, y) => x === y), m => m)))
+        eqU(col("t_a"), col("t_b")))
         .otherwise(lcsU(col("t_a"), col("t_b"))))
       .filter(lit(1.0) - col("matches") * 2.0 / (col("len_a") + col("len_b")) <= maxDist)
       .select("id_a", "id_b")
